@@ -1,0 +1,140 @@
+"""Solver-level unit tests: KKT optimality of the PDIPM forward solve on
+random QP and mixed-LCP instances (SURVEY.md §4 test plan, item 1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcp_physics_tpu.lcp import lcp_solve_full, pdipm_solve, solve_eq_kkt
+
+
+def random_qp(rng, n, m, q, with_F=False):
+    """Generate a strictly feasible random QP/LCP instance."""
+    L = rng.standard_normal((n, n))
+    Q = L @ L.T + n * np.eye(n)
+    p = rng.standard_normal(n)
+    G = rng.standard_normal((m, n))
+    z0 = rng.standard_normal(n)
+    s0 = rng.uniform(0.5, 1.5, m)
+    h = G @ z0 + s0  # strictly feasible
+    if q:
+        A = rng.standard_normal((q, n))
+        b = A @ z0
+    else:
+        A = np.zeros((0, n))
+        b = np.zeros((0,))
+    if with_F:
+        # Skew coupling keeps lam^T F lam = 0 (monotone LCP), mirroring the
+        # friction-cone structure the engine produces.
+        S = rng.standard_normal((m, m))
+        F = S - S.T
+    else:
+        F = np.zeros((m, m))
+    return tuple(map(jnp.asarray, (Q, p, G, h, A, b, F)))
+
+
+def check_kkt(Q, p, G, h, A, b, F, sol, tol=1e-6):
+    z, s, lam, nu = sol.z, sol.s, sol.lam, sol.nu
+    np.testing.assert_allclose(
+        Q @ z + p + G.T @ lam + A.T @ nu, 0, atol=tol)
+    np.testing.assert_allclose(G @ z + F @ lam + s - h, 0, atol=tol)
+    if A.shape[0]:
+        np.testing.assert_allclose(A @ z - b, 0, atol=tol)
+    assert float(jnp.min(s)) >= -tol
+    assert float(jnp.min(lam)) >= -tol
+    assert float(jnp.max(s * lam)) < 1e-5
+
+
+@pytest.mark.parametrize("n,m,q", [(5, 3, 0), (8, 6, 2), (12, 20, 4)])
+def test_qp_kkt_optimality(n, m, q):
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        Q, p, G, h, A, b, F = random_qp(rng, n, m, q)
+        sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=25, tol=1e-10)
+        check_kkt(Q, p, G, h, A, b, F, sol)
+
+
+@pytest.mark.parametrize("n,m,q", [(6, 4, 0), (10, 8, 3)])
+def test_lcp_with_F_kkt(n, m, q):
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        Q, p, G, h, A, b, F = random_qp(rng, n, m, q, with_F=True)
+        sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=30, tol=1e-10)
+        check_kkt(Q, p, G, h, A, b, F, sol)
+
+
+def test_matches_unconstrained_when_inactive():
+    """With h huge, all constraints inactive: z = -Q^{-1} p exactly."""
+    rng = np.random.default_rng(2)
+    Q, p, G, h, A, b, F = random_qp(rng, 7, 4, 0)
+    h = h + 1e3
+    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=25, tol=1e-11)
+    np.testing.assert_allclose(sol.z, -jnp.linalg.solve(Q, p), atol=1e-6)
+
+
+def test_equality_only_path():
+    rng = np.random.default_rng(3)
+    n, q = 6, 2
+    L = rng.standard_normal((n, n))
+    Q = jnp.asarray(L @ L.T + n * np.eye(n))
+    p = jnp.asarray(rng.standard_normal(n))
+    A = jnp.asarray(rng.standard_normal((q, n)))
+    b = jnp.asarray(rng.standard_normal(q))
+    z, nu = solve_eq_kkt(Q, p, A, b)
+    np.testing.assert_allclose(Q @ z + p + A.T @ nu, 0, atol=1e-8)
+    np.testing.assert_allclose(A @ z - b, 0, atol=1e-8)
+    # m == 0 route through pdipm_solve agrees
+    sol = pdipm_solve(Q, p, jnp.zeros((0, n)), jnp.zeros((0,)), A, b,
+                      jnp.zeros((0, 0)), max_iter=10, tol=1e-10)
+    np.testing.assert_allclose(sol.z, z, atol=1e-8)
+
+
+def test_padded_inactive_rows_are_harmless():
+    """The engine pads unused contact slots as zero G rows with h = 1;
+    solutions must match the unpadded problem."""
+    rng = np.random.default_rng(4)
+    n, m, q = 8, 5, 2
+    Q, p, G, h, A, b, F = random_qp(rng, n, m, q)
+    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=25, tol=1e-10)
+
+    pad = 7
+    Gp = jnp.concatenate([G, jnp.zeros((pad, n))])
+    hp = jnp.concatenate([h, jnp.ones(pad)])
+    Fp = jnp.zeros((m + pad, m + pad)).at[:m, :m].set(F)
+    solp = pdipm_solve(Q, p, Gp, hp, A, b, Fp, max_iter=25, tol=1e-10)
+    np.testing.assert_allclose(solp.z, sol.z, atol=1e-6)
+    np.testing.assert_allclose(solp.lam[m:], 0, atol=1e-6)
+
+
+def test_vmap_batched_matches_loop():
+    rng = np.random.default_rng(5)
+    n, m, q, B = 6, 5, 2, 8
+    instances = [random_qp(rng, n, m, q, with_F=True) for _ in range(B)]
+    stacked = [jnp.stack(xs) for xs in zip(*instances)]
+
+    batched = jax.vmap(
+        lambda Q, p, G, h, A, b, F: pdipm_solve(
+            Q, p, G, h, A, b, F, max_iter=25, tol=1e-10).z)
+    z_batch = batched(*stacked)
+    for i, (Q, p, G, h, A, b, F) in enumerate(instances):
+        z_i = pdipm_solve(Q, p, G, h, A, b, F, max_iter=25, tol=1e-10).z
+        np.testing.assert_allclose(z_batch[i], z_i, atol=1e-7)
+
+
+def test_jit_compiles_and_matches():
+    rng = np.random.default_rng(6)
+    Q, p, G, h, A, b, F = random_qp(rng, 6, 4, 2)
+    f = jax.jit(lambda *xs: pdipm_solve(*xs, max_iter=25, tol=1e-10).z)
+    np.testing.assert_allclose(
+        f(Q, p, G, h, A, b, F),
+        pdipm_solve(Q, p, G, h, A, b, F, max_iter=25, tol=1e-10).z,
+        atol=1e-9)
+
+
+def test_lcp_solve_full_diagnostics():
+    rng = np.random.default_rng(7)
+    Q, p, G, h, A, b, F = random_qp(rng, 6, 4, 0)
+    sol = lcp_solve_full(Q, p, G, h, F=F, max_iter=25, tol=1e-10)
+    assert float(sol.mu) < 1e-8
+    assert float(sol.resid) < 1e-6
+    assert int(sol.iters) < 25
