@@ -1,0 +1,377 @@
+"""Vectorized, differentiable collision detection over padded shape arrays.
+
+Parity target: reference ``lcp_physics/physics/contacts.py``
+(``DiffContactHandler`` — pure-tensor narrowphase: circle–circle,
+circle–hull, hull–hull via SAT + reference/incident edge clipping, at most 2
+points per pair, differentiable normals/points/penetrations) and the ODE hash
+-space broadphase the reference delegates to (SURVEY.md §2.2).
+
+TPU-first design
+----------------
+The reference walks Python object pairs through the ODE C library; here every
+shape is a row of fixed-shape arrays and each narrowphase case is a pure
+function over ONE pair, ``vmap``-ed over a *static* pair list:
+
+* Bodies are "rounded convex hulls": ``verts (N, V, 2)`` local-frame padded
+  vertex array, ``counts (N,)`` true vertex counts (static), ``radius (N,)``.
+  A circle is a 1-vertex hull with nonzero radius; a rect/hull has radius 0.
+* Pair lists are split BY TYPE at trace time (counts are static), so each
+  narrowphase kernel runs only on its own pairs — no runtime dispatch.
+* Broadphase is a masked all-pairs AABB overlap test (N <= a few hundred
+  makes N^2 trivial on TPU); it gates contact validity, never shapes.
+* All branching is ``where``/``argmin``-based, so the whole pipeline is
+  jit/vmap/grad-compatible; gradients flow through the selected features
+  (piecewise smooth, exactly like the reference's differentiable handler).
+* Output is a fixed-capacity :class:`Contacts` buffer compacted with
+  ``lax.top_k`` (deepest contacts kept under overflow) — the padding scheme
+  the LCP layer is built to absorb (zero rows, h = 1).
+
+Contact normal convention: ``normal`` points FROM body ``b`` TOWARD body
+``a`` (the direction that pushes ``a`` out of ``b``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcp_physics_tpu.physics.utils import left_orthogonal, rotate
+
+_TINY = 1e-12
+
+
+class Contacts(NamedTuple):
+    """Fixed-capacity padded contact buffer (C slots)."""
+
+    normal: jax.Array  # (C, 2) from body b toward body a
+    ra: jax.Array      # (C, 2) world-frame offset: contact point - com(a)
+    rb: jax.Array      # (C, 2) world-frame offset: contact point - com(b)
+    depth: jax.Array   # (C,) penetration depth (> 0 means interpenetrating)
+    ia: jax.Array      # (C,) int32 body index a
+    ib: jax.Array      # (C,) int32 body index b
+    valid: jax.Array   # (C,) bool
+
+
+def world_vertices(verts, p):
+    """Local padded vertices (N, V, 2) -> world frame given p (N, 3)."""
+    return rotate(verts, p[:, None, 0]) + p[:, None, 1:3]
+
+
+# ---------------------------------------------------------------------------
+# Single-pair narrowphase kernels (vmap over pair axis).
+# ---------------------------------------------------------------------------
+
+def circle_circle(pa, ra_, pb, rb_):
+    """One circle-circle pair. Returns (normal, ra, rb, depth)."""
+    d = pa - pb
+    dist = jnp.sqrt(jnp.sum(d * d) + _TINY)
+    n = d / dist
+    depth = ra_ + rb_ - dist
+    return n, -n * ra_, n * rb_, depth
+
+
+def _edge_data(wv, count):
+    """Edges and outward normals of a CCW padded polygon (V, 2)."""
+    V = wv.shape[0]
+    idx = jnp.arange(V)
+    nxt = jnp.where(idx + 1 < count, idx + 1, 0)
+    v2 = wv[nxt]
+    e = v2 - wv
+    elen = jnp.sqrt(jnp.sum(e * e, axis=-1) + _TINY)
+    n_out = left_orthogonal(e) / elen[:, None]  # CCW -> outward is right side
+    edge_valid = idx < count
+    return v2, e, elen, n_out, edge_valid
+
+
+def circle_hull(pc, rc, wv, count):
+    """One circle (center pc, radius rc) vs one hull (world verts wv, true
+    vertex count ``count``).  Returns (normal from hull toward circle,
+    r_circle, r_hull, depth)."""
+    v2, e, elen, n_out, edge_valid = _edge_data(wv, count)
+
+    # Closest point on each (valid) edge segment to the circle center.
+    to_c = pc - wv
+    t = jnp.clip(jnp.sum(to_c * e, axis=-1) / (elen ** 2), 0.0, 1.0)
+    cp = wv + t[:, None] * e
+    dvec = pc - cp
+    d = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + _TINY)
+
+    sd = jnp.sum(n_out * to_c, axis=-1)  # signed distance to edge lines
+    inside = jnp.all(jnp.where(edge_valid, sd, -jnp.inf) <= 0)
+
+    k_out = jnp.argmin(jnp.where(edge_valid, d, jnp.inf))
+    d_out = d[k_out]
+    n_from_hull = dvec[k_out] / d_out
+    cp_out = cp[k_out]
+
+    k_in = jnp.argmax(jnp.where(edge_valid, sd, -jnp.inf))
+    s_in = sd[k_in]                       # <= 0 when inside
+    n_in = n_out[k_in]
+    cp_in = pc - n_in * s_in              # projection onto nearest face
+
+    n = jnp.where(inside, n_in, n_from_hull)
+    s = jnp.where(inside, s_in, d_out)    # signed distance center->boundary
+    depth = rc - s
+    cp_hull = jnp.where(inside, cp_in, cp_out)
+    r_circle = -n * rc
+    return n, r_circle, cp_hull, depth
+
+
+def _face_separation(n_out, face_v, edge_valid, other_wv, other_count):
+    """For each face of the reference hull, the minimum signed distance of
+    the other hull's (valid) vertices to that face plane."""
+    V_other = other_wv.shape[0]
+    vert_valid = jnp.arange(V_other) < other_count
+    # (Vf, Vo): distance of other vertex j to face k's plane
+    d = jnp.einsum("kd,kjd->kj", n_out,
+                   other_wv[None, :, :] - face_v[:, None, :])
+    d = jnp.where(vert_valid[None, :], d, jnp.inf)
+    sep = jnp.min(d, axis=1)
+    return jnp.where(edge_valid, sep, -jnp.inf)
+
+
+def _halfplane_interval(g0, gd):
+    """Interval of t with g0 + t*gd >= 0 (branch-free)."""
+    eps = 1e-12
+    pos = gd > eps
+    neg = gd < -eps
+    t_cross = -g0 / jnp.where(jnp.abs(gd) > eps, gd, 1.0)
+    lo = jnp.where(pos, t_cross, -jnp.inf)
+    hi = jnp.where(neg, t_cross, jnp.inf)
+    empty = (~pos) & (~neg) & (g0 < 0)
+    lo = jnp.where(empty, jnp.inf, lo)
+    return lo, hi
+
+
+def hull_hull(wva, ca, pos_a, wvb, cb, pos_b):
+    """One hull-hull pair via SAT + reference/incident face clipping.
+
+    Returns (normal (2,), ra (2, 2), rb (2, 2), depth (2,), point_valid (2,))
+    — up to two contact points sharing one normal (the reference's
+    DiffContactHandler emits the same <=2-point manifolds)."""
+    _, ea, elen_a, na, eva = _edge_data(wva, ca)
+    _, eb, elen_b, nb, evb = _edge_data(wvb, cb)
+
+    sep_a_k = _face_separation(na, wva, eva, wvb, cb)
+    sep_b_k = _face_separation(nb, wvb, evb, wva, ca)
+    sep_a = jnp.max(sep_a_k)
+    sep_b = jnp.max(sep_b_k)
+    ka = jnp.argmax(sep_a_k)
+    kb = jnp.argmax(sep_b_k)
+
+    # Box2D-style preference for hull A (coherence under near-ties).
+    use_b = sep_b > 0.98 * sep_a + 1e-6
+    sep = jnp.where(use_b, sep_b, sep_a)
+
+    # Reference face data.
+    def gather_face(wv, count, k):
+        V = wv.shape[0]
+        nxt = jnp.where(k + 1 < count, k + 1, 0)
+        return wv[k], wv[nxt]
+
+    ra1, ra2 = gather_face(wva, ca, ka)
+    rb1, rb2 = gather_face(wvb, cb, kb)
+    ref_v1 = jnp.where(use_b, rb1, ra1)
+    ref_v2 = jnp.where(use_b, rb2, ra2)
+    ref_n = jnp.where(use_b, nb[kb], na[ka])
+
+    inc_wv = jnp.where(use_b, wva, wvb)
+    inc_normals = jnp.where(use_b, na, nb)
+    inc_valid = jnp.where(use_b, eva, evb)
+    inc_count = jnp.where(use_b, ca, cb)
+
+    # Incident face: most anti-parallel to the reference normal.
+    align = jnp.einsum("kd,d->k", inc_normals, ref_n)
+    ki = jnp.argmin(jnp.where(inc_valid, align, jnp.inf))
+    inc_v1, inc_v2 = gather_face(inc_wv, inc_count, ki)
+
+    # Clip incident segment parametrically against the two side planes.
+    D = inc_v2 - inc_v1
+    ref_t = (ref_v2 - ref_v1)
+    ref_t = ref_t / jnp.sqrt(jnp.sum(ref_t * ref_t) + _TINY)
+    # keep  ref_t . (p - ref_v1) >= 0   and   -ref_t . (p - ref_v2) >= 0
+    lo1, hi1 = _halfplane_interval(jnp.dot(ref_t, inc_v1 - ref_v1),
+                                   jnp.dot(ref_t, D))
+    lo2, hi2 = _halfplane_interval(jnp.dot(-ref_t, inc_v1 - ref_v2),
+                                   jnp.dot(-ref_t, D))
+    t0 = jnp.maximum(0.0, jnp.maximum(lo1, lo2))
+    t1 = jnp.minimum(1.0, jnp.minimum(hi1, hi2))
+    seg_ok = t0 <= t1
+
+    pts = inc_v1[None, :] + jnp.stack([t0, t1])[:, None] * D[None, :]
+    pen = -jnp.einsum("pd,d->p", pts - ref_v1[None, :], ref_n)
+    pt_valid = seg_ok & (pen > 0)
+
+    # Surface points: clipped point lies on the incident hull; project onto
+    # the reference face for the reference hull.
+    pts_ref = pts + pen[:, None] * ref_n[None, :]
+    # Map (reference, incident) -> (a, b).
+    pts_a = jnp.where(use_b, pts, pts_ref)
+    pts_b = jnp.where(use_b, pts_ref, pts)
+    normal = jnp.where(use_b, ref_n, -ref_n)  # from b toward a
+
+    ra = pts_a - pos_a[None, :]
+    rb = pts_b - pos_b[None, :]
+    depth = pen
+    # A separated pair (sep > 0) produces no points even if clipping found
+    # interval overlap.
+    pt_valid = pt_valid & (sep <= 0)
+    return normal, ra, rb, depth, pt_valid
+
+
+# ---------------------------------------------------------------------------
+# Broadphase + full pipeline.
+# ---------------------------------------------------------------------------
+
+def aabbs(p, verts, radius, counts):
+    """Axis-aligned bounding boxes (N, 2, 2): [[minx, miny], [maxx, maxy]]."""
+    wv = world_vertices(verts, p)
+    vert_valid = (np.arange(verts.shape[1])[None, :] < counts[:, None])
+    big = jnp.where(vert_valid[:, :, None], wv, -jnp.inf)
+    small = jnp.where(vert_valid[:, :, None], wv, jnp.inf)
+    vmax = jnp.max(big, axis=1) + radius[:, None]
+    vmin = jnp.min(small, axis=1) - radius[:, None]
+    return jnp.stack([vmin, vmax], axis=1)
+
+
+def aabb_overlap(boxes, ia, ib):
+    """Pairwise AABB overlap for index lists ia, ib -> bool (P,)."""
+    lo_a, hi_a = boxes[ia, 0], boxes[ia, 1]
+    lo_b, hi_b = boxes[ib, 0], boxes[ib, 1]
+    return jnp.all((lo_a <= hi_b) & (lo_b <= hi_a), axis=-1)
+
+
+def split_pairs_by_kind(counts, allowed=None):
+    """Static (trace-time) pair enumeration split by narrowphase kernel.
+
+    counts: host numpy (N,) true vertex counts (1 == circle).
+    allowed: optional host numpy (N, N) bool of collidable pairs (the
+    reference's ``no_contact`` exclusion lists, plus inactive-body masking).
+    Returns dict of (ia, ib) numpy index arrays for 'cc', 'ch', 'hh'
+    ('ch' lists the circle first).
+    """
+    counts = np.asarray(counts)
+    N = counts.shape[0]
+    iu, ju = np.triu_indices(N, k=1)
+    if allowed is not None:
+        keep = np.asarray(allowed)[iu, ju]
+        iu, ju = iu[keep], ju[keep]
+    is_c = counts == 1
+    cc = is_c[iu] & is_c[ju]
+    hh = (~is_c[iu]) & (~is_c[ju])
+    ch = is_c[iu] & (~is_c[ju])
+    hc = (~is_c[iu]) & is_c[ju]
+    pairs = {
+        "cc": (iu[cc], ju[cc]),
+        # circle listed first; remember the original (a=lower index) order
+        # so the caller can emit consistent (ia, ib) bodies.
+        "ch": (np.concatenate([iu[ch], ju[hc]]),
+               np.concatenate([ju[ch], iu[hc]])),
+        "hh": (iu[hh], ju[hh]),
+    }
+    return pairs
+
+
+def find_contacts(p, verts, radius, counts, pairs, c_max):
+    """Full collision pipeline for one world.
+
+    p (N, 3) [rot, x, y]; verts (N, V, 2) local; radius (N,);
+    counts: host numpy (N,) static vertex counts;
+    pairs: output of :func:`split_pairs_by_kind` (static);
+    c_max: static contact capacity of the output buffer.
+
+    Returns a :class:`Contacts` buffer with exactly ``c_max`` slots, deepest
+    contacts first, invalid slots masked.
+    """
+    dt = p.dtype
+    pos = p[:, 1:3]
+    wv = world_vertices(verts, p)
+    counts_j = jnp.asarray(np.asarray(counts))
+    boxes = aabbs(p, verts, radius, counts_j)
+
+    outs = []  # tuples of (normal, ra, rb, depth, ia, ib, valid), flat lists
+
+    cc_i, cc_j = pairs["cc"]
+    if len(cc_i):
+        n, ra, rb, d = jax.vmap(
+            lambda i, j: circle_circle(pos[i], radius[i], pos[j], radius[j])
+        )(cc_i, cc_j)
+        ok = aabb_overlap(boxes, cc_i, cc_j) & (d > 0)
+        outs.append((n, ra, rb, d, jnp.asarray(cc_i, jnp.int32),
+                     jnp.asarray(cc_j, jnp.int32), ok))
+
+    ch_i, ch_j = pairs["ch"]  # circle first, hull second
+    if len(ch_i):
+        n, r_c, cp_hull, d = jax.vmap(
+            lambda i, j: circle_hull(pos[i], radius[i], wv[j], counts_j[j])
+        )(ch_i, ch_j)
+        r_h = cp_hull - pos[jnp.asarray(ch_j)]
+        ok = aabb_overlap(boxes, ch_i, ch_j) & (d > 0)
+        # normal from hull->circle == from b->a with a=circle. ✓
+        outs.append((n, r_c, r_h, d, jnp.asarray(ch_i, jnp.int32),
+                     jnp.asarray(ch_j, jnp.int32), ok))
+
+    hh_i, hh_j = pairs["hh"]
+    if len(hh_i):
+        n, ra2, rb2, d2, v2 = jax.vmap(
+            lambda i, j: hull_hull(wv[i], counts_j[i], pos[i],
+                                   wv[j], counts_j[j], pos[j])
+        )(hh_i, hh_j)
+        ok = aabb_overlap(boxes, hh_i, hh_j)
+        P = len(hh_i)
+        # Flatten the 2-point manifolds into single-contact rows sharing n.
+        n_flat = jnp.repeat(n, 2, axis=0)
+        ra_flat = ra2.reshape(2 * P, 2)
+        rb_flat = rb2.reshape(2 * P, 2)
+        d_flat = d2.reshape(2 * P)
+        v_flat = v2.reshape(2 * P) & jnp.repeat(ok, 2)
+        ii = jnp.repeat(jnp.asarray(hh_i, jnp.int32), 2)
+        jj = jnp.repeat(jnp.asarray(hh_j, jnp.int32), 2)
+        outs.append((n_flat, ra_flat, rb_flat, d_flat, ii, jj, v_flat))
+
+    if not outs:
+        z2 = jnp.zeros((c_max, 2), dt)
+        return Contacts(z2, z2, z2, jnp.zeros((c_max,), dt),
+                        jnp.zeros((c_max,), jnp.int32),
+                        jnp.zeros((c_max,), jnp.int32),
+                        jnp.zeros((c_max,), bool))
+
+    normal = jnp.concatenate([o[0] for o in outs])
+    ra = jnp.concatenate([o[1] for o in outs])
+    rb = jnp.concatenate([o[2] for o in outs])
+    depth = jnp.concatenate([o[3] for o in outs])
+    ia = jnp.concatenate([o[4] for o in outs])
+    ib = jnp.concatenate([o[5] for o in outs])
+    valid = jnp.concatenate([o[6] for o in outs])
+
+    total = normal.shape[0]
+    if total <= c_max:
+        pad = c_max - total
+        normal = jnp.pad(normal, ((0, pad), (0, 0)))
+        ra = jnp.pad(ra, ((0, pad), (0, 0)))
+        rb = jnp.pad(rb, ((0, pad), (0, 0)))
+        depth = jnp.pad(depth, ((0, pad),))
+        ia = jnp.pad(ia, ((0, pad),))
+        ib = jnp.pad(ib, ((0, pad),))
+        valid = jnp.pad(valid, ((0, pad),))
+        return Contacts(normal, ra, rb, depth, ia, ib, valid)
+
+    # Compaction: keep the c_max deepest valid contacts.  Scores of invalid
+    # slots are pushed below every valid slot.
+    score = jnp.where(valid, depth, -jnp.inf)
+    _, keep = jax.lax.top_k(score, c_max)
+    keep = jax.lax.stop_gradient(keep)
+    return Contacts(normal[keep], ra[keep], rb[keep], depth[keep],
+                    ia[keep], ib[keep], valid[keep])
+
+
+def max_penetration(p, verts, radius, counts, pairs):
+    """Deepest penetration in the world (for the strict-no-penetration
+    dt-halving backtrack; reference ``World.step`` SURVEY.md §3.1)."""
+    big_c = sum(len(v[0]) for v in pairs.values()) * 2
+    if big_c == 0:
+        return jnp.zeros((), p.dtype)
+    cts = find_contacts(p, verts, radius, counts, pairs, big_c)
+    return jnp.max(jnp.where(cts.valid, cts.depth, 0.0), initial=0.0)

@@ -1,0 +1,212 @@
+"""Narrowphase/broadphase unit tests against analytic cases
+(SURVEY.md §4 test plan, item 2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcp_physics_tpu.core.geometry import (
+    Contacts, aabb_overlap, aabbs, circle_circle, circle_hull, find_contacts,
+    hull_hull, max_penetration, split_pairs_by_kind, world_vertices)
+
+
+def square_verts(half):
+    """CCW unit square scaled by half-extent."""
+    return np.array([[-half, -half], [half, -half],
+                     [half, half], [-half, half]], float)
+
+
+def make_world(bodies):
+    """bodies: list of dicts with pos(3,), and either radius or verts."""
+    N = len(bodies)
+    V = max(max((len(b.get("verts", [0])) for b in bodies), default=1), 1)
+    p = np.zeros((N, 3))
+    verts = np.zeros((N, V, 2))
+    radius = np.zeros(N)
+    counts = np.zeros(N, int)
+    for k, b_ in enumerate(bodies):
+        p[k] = b_["pos"]
+        if "radius" in b_:
+            counts[k] = 1
+            radius[k] = b_["radius"]
+        else:
+            v = np.asarray(b_["verts"], float)
+            counts[k] = len(v)
+            verts[k, :len(v)] = v
+            verts[k, len(v):] = v[-1]  # pad by repeating last vertex
+    return jnp.asarray(p), jnp.asarray(verts), jnp.asarray(radius), counts
+
+
+def test_circle_circle_basic():
+    n, ra, rb, d = circle_circle(jnp.array([0., 3.]), 2.0,
+                                 jnp.array([0., 0.]), 2.0)
+    np.testing.assert_allclose(n, [0., 1.], atol=1e-12)   # pushes a up
+    np.testing.assert_allclose(d, 1.0, atol=1e-12)
+    np.testing.assert_allclose(ra, [0., -2.], atol=1e-12)
+    np.testing.assert_allclose(rb, [0., 2.], atol=1e-12)
+
+
+def test_circle_circle_separated():
+    *_, d = circle_circle(jnp.array([10., 0.]), 1.0, jnp.array([0., 0.]), 1.0)
+    assert float(d) < 0
+
+
+def test_circle_hull_face():
+    """Circle above the top face of a square: normal +y, depth = r - gap."""
+    wv = jnp.asarray(square_verts(1.0))
+    n, rc, cp, d = circle_hull(jnp.array([0., 1.5]), 1.0, wv, jnp.asarray(4))
+    np.testing.assert_allclose(n, [0., 1.], atol=1e-9)
+    np.testing.assert_allclose(d, 0.5, atol=1e-9)          # r=1, gap=0.5
+    np.testing.assert_allclose(cp, [0., 1.], atol=1e-9)    # on the face
+    np.testing.assert_allclose(rc, [0., -1.], atol=1e-9)
+
+
+def test_circle_hull_corner():
+    """Circle diagonal off the (1,1) corner: normal along the diagonal."""
+    c = jnp.array([2., 2.])
+    wv = jnp.asarray(square_verts(1.0))
+    n, rc, cp, d = circle_hull(c, 1.0, wv, jnp.asarray(4))
+    s2 = np.sqrt(2)
+    np.testing.assert_allclose(n, [1 / s2, 1 / s2], atol=1e-9)
+    np.testing.assert_allclose(cp, [1., 1.], atol=1e-9)
+    np.testing.assert_allclose(d, 1.0 - s2, atol=1e-9)     # separated
+
+
+def test_circle_hull_center_inside():
+    """Circle center inside the hull: pushed out the nearest face."""
+    wv = jnp.asarray(square_verts(1.0))
+    n, rc, cp, d = circle_hull(jnp.array([0., 0.8]), 0.5, wv, jnp.asarray(4))
+    np.testing.assert_allclose(n, [0., 1.], atol=1e-9)
+    np.testing.assert_allclose(d, 0.5 + 0.2, atol=1e-9)    # r + dist to face
+    np.testing.assert_allclose(cp, [0., 1.], atol=1e-9)
+
+
+def test_hull_hull_face_overlap():
+    """Two unit squares overlapping by 0.4 in x: 2-point manifold."""
+    wva = jnp.asarray(square_verts(1.0))          # centered at origin
+    wvb = jnp.asarray(square_verts(1.0) + [1.6, 0.0])
+    n, ra, rb, d, v = hull_hull(wva, jnp.asarray(4), jnp.array([0., 0.]),
+                                wvb, jnp.asarray(4), jnp.array([1.6, 0.]))
+    assert bool(v[0]) and bool(v[1])
+    np.testing.assert_allclose(np.abs(n[0]), 1.0, atol=1e-9)  # +-x axis
+    np.testing.assert_allclose(n[1], 0.0, atol=1e-9)
+    np.testing.assert_allclose(d, [0.4, 0.4], atol=1e-9)
+    # normal pushes a away from b: a is left of b -> -x
+    np.testing.assert_allclose(n, [-1., 0.], atol=1e-9)
+    # contact points at x ~ overlap band, y in [-1, 1]
+    pts_a = np.asarray(ra) + np.array([0., 0.])
+    assert np.all(np.abs(pts_a[:, 1]) <= 1 + 1e-9)
+
+
+def test_hull_hull_separated():
+    wva = jnp.asarray(square_verts(1.0))
+    wvb = jnp.asarray(square_verts(1.0) + [3.0, 0.0])
+    *_, v = hull_hull(wva, jnp.asarray(4), jnp.array([0., 0.]),
+                      wvb, jnp.asarray(4), jnp.array([3., 0.]))
+    assert not bool(v[0]) and not bool(v[1])
+
+
+def test_hull_hull_rotated_corner():
+    """45-degree rotated square resting corner-down on a flat square."""
+    s2 = np.sqrt(2)
+    diamond = np.array([[s2, 0.], [0., s2], [-s2, 0.], [0., -s2]])
+    ground = square_verts(5.0)
+    # Diamond bottom corner at y = -s2 + offset, ground top at y = 0
+    off = 0.1
+    wva = jnp.asarray(diamond + [0., s2 - off])   # corner dips 0.1 below 0
+    wvb = jnp.asarray(ground + [0., -5.0])        # top face at y=0
+    n, ra, rb, d, v = hull_hull(wva, jnp.asarray(4), jnp.array([0., s2 - off]),
+                                wvb, jnp.asarray(4), jnp.array([0., -5.]))
+    assert bool(v[0]) or bool(v[1])
+    np.testing.assert_allclose(n, [0., 1.], atol=1e-9)  # push diamond up
+    dmax = float(jnp.max(jnp.where(v, d, -jnp.inf)))
+    np.testing.assert_allclose(dmax, off, atol=1e-9)
+
+
+def test_world_vertices_rotation():
+    verts = jnp.asarray(square_verts(1.0))[None]
+    p = jnp.array([[np.pi / 2, 3.0, 4.0]])
+    wv = world_vertices(verts, p)
+    np.testing.assert_allclose(wv[0, 0], [3 + 1, 4 - 1], atol=1e-9)
+
+
+def test_aabb_and_broadphase():
+    p, verts, radius, counts = make_world([
+        dict(pos=[0, 0, 0], radius=1.0),
+        dict(pos=[0, 1.5, 0], radius=1.0),
+        dict(pos=[0, 10, 0], verts=square_verts(1.0)),
+    ])
+    boxes = aabbs(p, verts, radius, jnp.asarray(counts))
+    np.testing.assert_allclose(boxes[0], [[-1, -1], [1, 1]], atol=1e-9)
+    ov = aabb_overlap(boxes, np.array([0, 0]), np.array([1, 2]))
+    assert bool(ov[0]) and not bool(ov[1])
+
+
+def test_find_contacts_mixed_world():
+    """Mixed world: two overlapping circles, a circle on a box, two boxes."""
+    p, verts, radius, counts = make_world([
+        dict(pos=[0, 0, 0], radius=1.0),
+        dict(pos=[0, 1.5, 0], radius=1.0),          # overlaps body 0
+        dict(pos=[0, 10, 0.5], radius=1.0),          # on top of body 3
+        dict(pos=[0, 10, -1], verts=square_verts(1.0)),
+        dict(pos=[0, 20, 0], verts=square_verts(1.0)),
+        dict(pos=[0, 21.6, 0], verts=square_verts(1.0)),  # overlaps body 4
+        dict(pos=[0, 40, 40], radius=2.0),           # isolated
+    ])
+    pairs = split_pairs_by_kind(counts)
+    cts = find_contacts(p, verts, radius, counts, pairs, c_max=16)
+    assert isinstance(cts, Contacts)
+    nv = int(jnp.sum(cts.valid))
+    # cc: 1 contact; ch: 1; hh: 2 points
+    assert nv == 4
+    # All valid contacts have positive depth and unit normals
+    assert float(jnp.min(jnp.where(cts.valid, cts.depth, 1.0))) > 0
+    norms = jnp.linalg.norm(cts.normal, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(norms[np.asarray(cts.valid)]), 1.0, atol=1e-6)
+
+
+def test_no_contact_exclusion():
+    p, verts, radius, counts = make_world([
+        dict(pos=[0, 0, 0], radius=1.0),
+        dict(pos=[0, 1.5, 0], radius=1.0),
+    ])
+    allowed = np.ones((2, 2), bool)
+    allowed[0, 1] = allowed[1, 0] = False
+    pairs = split_pairs_by_kind(counts, allowed)
+    cts = find_contacts(p, verts, radius, counts, pairs, c_max=4)
+    assert int(jnp.sum(cts.valid)) == 0
+
+
+def test_compaction_keeps_deepest():
+    bodies = [dict(pos=[0, 2.0 * k, 0], radius=1.2) for k in range(6)]
+    p, verts, radius, counts = make_world(bodies)
+    pairs = split_pairs_by_kind(counts)
+    # 5 overlapping neighbor pairs, capacity 3 -> keep 3 valid
+    cts = find_contacts(p, verts, radius, counts, pairs, c_max=3)
+    assert int(jnp.sum(cts.valid)) == 3
+
+
+def test_contacts_differentiable():
+    """Penetration depth gradient wrt position is the contact normal."""
+    verts = jnp.zeros((2, 1, 2))
+    radius = jnp.array([1.0, 1.0])
+    counts = np.array([1, 1])
+    pairs = split_pairs_by_kind(counts)
+
+    def depth_sum(y):
+        p = jnp.array([[0., 0., 0.], [0., 0., 1.5 + y]])
+        cts = find_contacts(p, verts, radius, counts, pairs, c_max=2)
+        return jnp.sum(jnp.where(cts.valid, cts.depth, 0.0))
+
+    g = jax.grad(depth_sum)(0.0)
+    np.testing.assert_allclose(g, -1.0, atol=1e-9)  # moving up reduces depth
+
+
+def test_max_penetration():
+    p, verts, radius, counts = make_world([
+        dict(pos=[0, 0, 0], radius=1.0),
+        dict(pos=[0, 1.2, 0], radius=1.0),
+    ])
+    pairs = split_pairs_by_kind(counts)
+    pen = max_penetration(p, verts, radius, counts, pairs)
+    np.testing.assert_allclose(pen, 0.8, atol=1e-9)
