@@ -1,0 +1,184 @@
+r"""The functional world stepper: contact LCP assembly + semi-implicit Euler.
+
+Parity target: reference ``physics/engines.py`` (``PdipmEngine.solve_dynamics``
+— M/u/Je assembly, Jc/Jf/E/mu blocks, G/F/h construction, LCP call,
+``post_stabilization``) and ``physics/world.py`` (``World.step`` —
+integration, collision refresh; SURVEY.md §3.1).
+
+TPU-first design
+----------------
+One fused, fixed-shape traced path per scene: contacts live in a padded
+buffer, the contact-free case is just "all slots masked" (the reference
+branches to a separate dense solve; here padding keeps a single XLA program).
+``step_world`` is pure: ``(params, state, dt) -> (state', diagnostics)``,
+jit/vmap/grad/scan-compatible.  Rollouts are ``lax.scan`` with optional
+``jax.checkpoint`` segments for long-horizon BPTT (SURVEY.md §5.7).
+
+Velocity-level contact model (Stewart–Trinkle / Anitescu–Potra, the same
+formulation the reference assembles):
+
+    M v' = M v + dt f + Jc^T lam + Jf^T beta - Je^T nu
+    0 <= lam  \perp  Jc v' + e (Jc v)         >= 0     (restitution)
+    0 <= beta \perp  Jf v' + E gamma          >= 0     (max dissipation)
+    0 <= gamma\perp  mu lam - E^T beta        >= 0     (friction cone)
+    Je v' = 0
+
+mapped onto the solver's (Q, p, G, h, A, b, F) blocks with
+G = [-Jc; -Jf; 0], F = [[0,0,0],[0,0,-E],[-diag(mu),E^T,0]],
+h = [e (Jc v); 0; 0]; padded slots get zero rows and h = 1.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lcp_physics_tpu.core.geometry import find_contacts
+from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
+                                            assemble_Je,
+                                            constraint_position_error)
+from lcp_physics_tpu.core.state import SceneParams, SceneStatic, WorldState
+from lcp_physics_tpu.lcp import lcp_solve
+from lcp_physics_tpu.physics.utils import SimConfig
+
+
+class StepDiagnostics(NamedTuple):
+    n_contacts: jax.Array      # active contact count
+    max_penetration: jax.Array
+
+
+def generalized_mass(params: SceneParams):
+    """Diagonal mass matrix entries (3N,): [I_k, m_k, m_k] per body."""
+    return jnp.stack([params.inertia, params.mass, params.mass],
+                     axis=-1).reshape(-1)
+
+
+def total_force(static: SceneStatic, params: SceneParams, state: WorldState):
+    """Generalized forces (N, 3): world gravity + optional user force hook
+    (reference ``World.apply_forces`` -> ``Body.apply_forces(t)``)."""
+    N = params.mass.shape[0]
+    f = jnp.zeros((N, 3), params.mass.dtype)
+    f = f.at[:, 1:3].add(params.mass[:, None] * params.gravity[None, :])
+    if static.force_fn is not None:
+        f = f + static.force_fn(params.force_params, state, state.t)
+    return f
+
+
+def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
+    """Build the jittable fixed-dt step function for one scene structure.
+
+    Returns ``step(params, state, dt) -> (state', StepDiagnostics)``.
+    ``vmap`` it over a leading world axis for batched simulation.
+    """
+    pairs = static.pair_lists()
+    counts = static.counts_np()
+    N = static.n_bodies
+    C = static.c_max
+    fd = config.fric_dirs
+
+    def solve_velocities(params, state, dt):
+        dtype = state.p.dtype
+        Mdiag = generalized_mass(params)
+        v = state.v.reshape(-1)
+        f = total_force(static, params, state).reshape(-1)
+        u = Mdiag * v + dt * f
+
+        Je = assemble_Je(static, state.p)
+        b_eq = jnp.zeros((Je.shape[0],), dtype)
+
+        contacts = find_contacts(state.p, params.verts, params.radius,
+                                 counts, pairs, C)
+        if C == 0:
+            v_new = lcp_solve(Mdiag, -u, jnp.zeros((0, 3 * N), dtype),
+                              jnp.zeros((0,), dtype), Je, b_eq,
+                              max_iter=config.max_iter, tol=config.solver_eps)
+            return v_new.reshape(N, 3), contacts
+
+        Jc, Jf, E = assemble_contact_jacobians(contacts, N, fd)
+        mask = contacts.valid.astype(dtype)
+        E = E * jnp.tile(mask, fd)[:, None] * mask[None, :]
+
+        e_rest = 0.5 * (params.restitution[contacts.ia]
+                        + params.restitution[contacts.ib])
+        mu = jnp.sqrt(jnp.clip(params.fric_coeff[contacts.ia]
+                               * params.fric_coeff[contacts.ib], 0.0)) * mask
+
+        m = C * (2 + fd)
+        G = jnp.concatenate(
+            [-Jc, -Jf, jnp.zeros((C, 3 * N), dtype)], axis=0)
+        F = jnp.zeros((m, m), dtype)
+        F = F.at[C:C + fd * C, C + fd * C:].set(-E)
+        F = F.at[C + fd * C:, :C].set(-jnp.diag(mu))
+        F = F.at[C + fd * C:, C:C + fd * C].set(E.T)
+
+        jcv = Jc @ v
+        h_n = jnp.where(contacts.valid, e_rest * jcv, 1.0)
+        h_f = jnp.where(jnp.tile(contacts.valid, fd),
+                        jnp.zeros((fd * C,), dtype), 1.0)
+        h_g = jnp.where(contacts.valid, jnp.zeros((C,), dtype), 1.0)
+        h = jnp.concatenate([h_n, h_f, h_g])
+
+        v_new = lcp_solve(Mdiag, -u, G, h, Je, b_eq, F,
+                          max_iter=config.max_iter, tol=config.solver_eps)
+        return v_new.reshape(N, 3), contacts
+
+    def post_stabilize(params, p):
+        """Position projection removing joint drift and penetration
+        (reference ``PdipmEngine.post_stabilization``): one extra LCP in
+        position space, p <- p + dp with M-weighted minimal dp."""
+        dtype = p.dtype
+        Mdiag = generalized_mass(params)
+        Je = assemble_Je(static, p)
+        err = constraint_position_error(static, p)
+        zero_p = jnp.zeros((3 * N,), dtype)
+        if C == 0:
+            dp = lcp_solve(Mdiag, zero_p, jnp.zeros((0, 3 * N), dtype),
+                           jnp.zeros((0,), dtype), Je, -err,
+                           max_iter=config.max_iter, tol=config.solver_eps)
+        else:
+            contacts = find_contacts(p, params.verts, params.radius,
+                                     counts, pairs, C)
+            Jc, _, _ = assemble_contact_jacobians(contacts, N, config.fric_dirs)
+            # push out: Jc dp >= depth  ->  -Jc dp <= -depth
+            h_ps = jnp.where(contacts.valid, -contacts.depth, 1.0)
+            dp = lcp_solve(Mdiag, zero_p, -Jc, h_ps, Je, -err,
+                           max_iter=config.max_iter, tol=config.solver_eps)
+        return p + dp.reshape(N, 3)
+
+    def step(params: SceneParams, state: WorldState, dt):
+        dt = jnp.asarray(dt, state.p.dtype)
+        v_new, contacts = solve_velocities(params, state, dt)
+        p_new = state.p + dt * v_new  # semi-implicit Euler
+        if config.post_stabilization:
+            p_new = post_stabilize(params, p_new)
+        new_state = WorldState(p=p_new, v=v_new, t=state.t + dt)
+        if C == 0:
+            diag = StepDiagnostics(jnp.zeros((), jnp.int32),
+                                   jnp.zeros((), state.p.dtype))
+        else:
+            diag = StepDiagnostics(
+                jnp.sum(contacts.valid).astype(jnp.int32),
+                jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0),
+                        initial=0.0))
+        return new_state, diag
+
+    return step
+
+
+def rollout(step, params, state, dt, n_steps, remat_segments=0):
+    """Roll the world forward ``n_steps`` with ``lax.scan``.
+
+    Returns (final_state, trajectory) where trajectory stacks every
+    intermediate :class:`WorldState` along a leading time axis.
+
+    ``remat_segments > 0`` wraps the per-step body in ``jax.checkpoint`` so
+    long-horizon BPTT (the inference/control demos) trades recompute for
+    activation memory — the honest TPU counterpart of the reference's
+    unbatched autograd tape (SURVEY.md §5.7).
+    """
+    body = lambda s, _: (step(params, s, dt)[0],) * 2
+    if remat_segments:
+        body = jax.checkpoint(body)
+    final, traj = jax.lax.scan(body, state, None, length=n_steps)
+    return final, traj

@@ -1,0 +1,261 @@
+"""Functional-core integration tests against analytic invariants
+(SURVEY.md §4 test plan items 3-4: ballistic parity, restitution law,
+friction behavior, joint constraint maintenance, momentum conservation).
+
+Coordinate convention mirrors the reference's pygame worlds: y grows
+downward, gravity is +y.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcp_physics_tpu.core import (JointSpec, WorldState, default_params,
+                                  make_scene_static, make_step, rollout)
+from lcp_physics_tpu.physics.utils import SimConfig
+
+DT = 1.0 / 100.0
+G = 10.0
+
+
+def circle_world(n, radius=1.0, joints=(), **kw):
+    static = make_scene_static([1] * n, joints=joints,
+                               **{k: v for k, v in kw.items()
+                                  if k in ("c_max", "no_contact", "force_fn")})
+    params = default_params(
+        static, verts=np.zeros((n, 1, 2)), radius=[radius] * n,
+        **{k: v for k, v in kw.items()
+           if k in ("mass", "restitution", "fric_coeff", "gravity")})
+    return static, params
+
+
+def box_ground_world(ground_half=(50.0, 1.0), body_kind="circle",
+                     body_half=1.0, **kw):
+    """Body 0 = dynamic (circle radius 1 or unit box), body 1 = static
+    ground held by a TotalConstraint (the reference's pattern for walls)."""
+    sq = lambda h: [[-h[0], -h[1]], [h[0], -h[1]], [h[0], h[1]], [-h[0], h[1]]]
+    V = 4
+    verts = np.zeros((2, V, 2))
+    counts = [1, 4]
+    radius = [body_half, 0.0]
+    if body_kind == "box":
+        counts[0] = 4
+        radius[0] = 0.0
+        verts[0] = sq((body_half, body_half))
+    verts[1] = sq(ground_half)
+    joints = (JointSpec(kind="total", body1=1, ref=(0.0, 0.0, 0.0)),)
+    static = make_scene_static(counts, joints=joints)
+    params = default_params(static, verts=verts, radius=radius,
+                            mass=kw.pop("mass", 1.0), **kw)
+    return static, params
+
+
+def run(step, params, state, n):
+    final, traj = rollout(jax.jit(step), params, state, DT, n)
+    return final, traj
+
+
+def test_ballistic_exact():
+    """No contacts: exact semi-implicit Euler free fall."""
+    static, params = circle_world(1, gravity=(0.0, G))
+    step = make_step(static)
+    s0 = WorldState(p=jnp.array([[0., 0., 0.]]),
+                    v=jnp.array([[0., 3., -2.]]), t=jnp.zeros(()))
+    k = 50
+    final, _ = run(step, params, s0, k)
+    v_exact = np.array([0., 3., -2. + k * DT * G])
+    # p = p0 + dt * sum_{i=1..k} v_i
+    vy = -2. + DT * G * np.arange(1, k + 1)
+    p_exact = np.array([0., 3. * k * DT, np.sum(vy) * DT])
+    np.testing.assert_allclose(final.v[0], v_exact, atol=1e-10)
+    np.testing.assert_allclose(final.p[0], p_exact, atol=1e-9)
+
+
+def test_resting_contact():
+    """Ball on constrained ground: settles with |v| ~ 0, penetration tiny."""
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.0)
+    # ground top at y = -1 (half-height 1, center 0); ball center y = -2
+    s0 = WorldState(p=jnp.array([[0., 0., -2.], [0., 0., 0.]]),
+                    v=jnp.zeros((2, 3)), t=jnp.zeros(()))
+    step = make_step(static)
+    final, _ = run(step, params, s0, 60)
+    assert abs(float(final.v[0, 2])) < 1e-6
+    # penetration bounded by one gravity step of sinking
+    assert float(final.p[0, 2]) < -2.0 + 2 * G * DT * DT
+    # ground never moves
+    np.testing.assert_allclose(final.p[1], 0.0, atol=1e-8)
+
+
+def test_restitution_bounce():
+    """Outgoing normal speed ~ e * incoming speed."""
+    e = 0.7
+    static, params = box_ground_world(gravity=(0.0, G), restitution=e)
+    s0 = WorldState(p=jnp.array([[0., 0., -3.], [0., 0., 0.]]),
+                    v=jnp.zeros((2, 3)), t=jnp.zeros(()))
+    step = jax.jit(make_step(static))
+    _, traj = rollout(step, params, s0, DT, 200)
+    vy = np.asarray(traj.v[:, 0, 2])
+    # find the bounce: velocity sign flip from + (downward) to -
+    idx = np.where((vy[:-1] > 0.5) & (vy[1:] < 0))[0]
+    assert len(idx) >= 1
+    k = idx[0]
+    ratio = -vy[k + 1] / vy[k]
+    np.testing.assert_allclose(ratio, e, rtol=0.05)
+
+
+def test_friction_stops_slider():
+    """Box sliding on ground with high friction decelerates to rest; with
+    zero friction it keeps its speed (LCP friction-cone behavior)."""
+    for mu, should_stop in [(0.9, True), (0.0, False)]:
+        static, params = box_ground_world(body_kind="box", gravity=(0.0, G),
+                                          restitution=0.0, fric_coeff=mu)
+        # box sitting on ground top (y=-1), center at -2 + tiny sink
+        s0 = WorldState(p=jnp.array([[0., 0., -1.9999], [0., 0., 0.]]),
+                        v=jnp.array([[0., 5., 0.], [0., 0., 0.]]),
+                        t=jnp.zeros(()))
+        step = make_step(static)
+        final, _ = run(step, params, s0, 100)
+        vx = float(final.v[0, 1])
+        if should_stop:
+            assert abs(vx) < 0.05, f"mu={mu}: vx={vx}"
+        else:
+            np.testing.assert_allclose(vx, 5.0, atol=1e-4)
+
+
+def test_friction_deceleration_rate():
+    """Coulomb sliding: dv/dt = -mu * g while sliding."""
+    mu = 0.2
+    static, params = box_ground_world(body_kind="box", gravity=(0.0, G),
+                                      restitution=0.0, fric_coeff=mu)
+    s0 = WorldState(p=jnp.array([[0., 0., -1.9999], [0., 0., 0.]]),
+                    v=jnp.array([[0., 5., 0.], [0., 0., 0.]]),
+                    t=jnp.zeros(()))
+    step = make_step(static)
+    k = 100
+    final, _ = run(step, params, s0, k)
+    v_expect = 5.0 - mu * G * k * DT
+    np.testing.assert_allclose(float(final.v[0, 1]), v_expect, rtol=0.05)
+
+
+def test_pendulum_energy_and_anchor():
+    """Point-mass pendulum on a world joint: anchor drift stays small and
+    the speed at the bottom matches sqrt(2 g L) within integrator error."""
+    L = 2.0
+    joints = (JointSpec(kind="joint", body1=0, body2=-1,
+                        local1=(-L, 0.0), ref=(0.0, 0.0, 0.0)),)
+    static, params = circle_world(1, radius=0.1, joints=joints,
+                                  gravity=(0.0, G))
+    s0 = WorldState(p=jnp.array([[0., L, 0.]]), v=jnp.zeros((1, 3)),
+                    t=jnp.zeros(()))
+    step = jax.jit(make_step(static))
+    _, traj = rollout(step, params, s0, DT, 120)
+    p = np.asarray(traj.p[:, 0, :])
+    v = np.asarray(traj.v[:, 0, :])
+    # anchor = com + R(theta) (-L, 0) must stay ~ (0, 0)
+    anchors = p[:, 1:3] + np.stack(
+        [-L * np.cos(p[:, 0]), -L * np.sin(p[:, 0])], axis=-1)
+    # velocity-level constraint: O(dt^2)-per-step drift, like the reference
+    # without post-stabilization
+    assert np.abs(anchors).max() < 0.05 * L
+    # speed when passing the bottom (x ~ 0, y ~ +L)
+    bottom = np.argmin(np.abs(p[:, 1]))
+    speed = np.linalg.norm(v[bottom, 1:3])
+    np.testing.assert_allclose(speed, np.sqrt(2 * G * L), rtol=0.05)
+
+
+def test_pendulum_post_stabilization():
+    """post_stabilization projects the joint drift away each step."""
+    L = 2.0
+    joints = (JointSpec(kind="joint", body1=0, body2=-1,
+                        local1=(-L, 0.0), ref=(0.0, 0.0, 0.0)),)
+    static, params = circle_world(1, radius=0.1, joints=joints,
+                                  gravity=(0.0, G))
+    s0 = WorldState(p=jnp.array([[0., L, 0.]]), v=jnp.zeros((1, 3)),
+                    t=jnp.zeros(()))
+    step = jax.jit(make_step(static, SimConfig(post_stabilization=True)))
+    _, traj = rollout(step, params, s0, DT, 120)
+    p = np.asarray(traj.p[:, 0, :])
+    anchors = p[:, 1:3] + np.stack(
+        [-L * np.cos(p[:, 0]), -L * np.sin(p[:, 0])], axis=-1)
+    assert np.abs(anchors).max() < 2e-3 * L
+
+
+def test_elastic_collision_momentum():
+    """Equal-mass head-on elastic collision: velocities exchange; momentum
+    conserved exactly, energy within solver tolerance."""
+    static, params = circle_world(2, radius=1.0, gravity=(0.0, 0.0),
+                                  restitution=1.0, fric_coeff=0.0)
+    s0 = WorldState(p=jnp.array([[0., -3., 0.], [0., 3., 0.]]),
+                    v=jnp.array([[0., 2., 0.], [0., -2., 0.]]),
+                    t=jnp.zeros(()))
+    step = make_step(static)
+    final, traj = run(step, params, s0, 150)
+    v = np.asarray(final.v)
+    mom = v[:, 1].sum()
+    np.testing.assert_allclose(mom, 0.0, atol=1e-8)
+    np.testing.assert_allclose(v[0, 1], -2.0, rtol=0.02)
+    np.testing.assert_allclose(v[1, 1], 2.0, rtol=0.02)
+
+
+def test_vmap_batch_matches_loop():
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.5)
+    step = make_step(static)
+    B = 4
+    heights = jnp.linspace(-4.0, -2.5, B)
+    states = WorldState(
+        p=jnp.stack([jnp.array([[0., 0., h], [0., 0., 0.]])
+                     for h in heights]),
+        v=jnp.zeros((B, 2, 3)),
+        t=jnp.zeros((B,)))
+    bstep = jax.jit(jax.vmap(lambda s: step(params, s, DT)[0]))
+    out = states
+    for _ in range(20):
+        out = bstep(out)
+    for k in range(B):
+        s = WorldState(p=states.p[k], v=states.v[k], t=states.t[k])
+        for _ in range(20):
+            s = jax.jit(step)(params, s, DT)[0]
+        np.testing.assert_allclose(out.p[k], s.p, atol=1e-8)
+
+
+def test_gradient_through_contact_rollout():
+    """Finite-difference check of d(final x)/d(initial vx) through a rollout
+    containing a bounce (the property powering the inference demos)."""
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.6)
+    step = make_step(static)
+
+    def final_x(vx0):
+        s0 = WorldState(
+            p=jnp.array([[0., 0., -2.5], [0., 0., 0.]]),
+            v=jnp.array([[0., vx0, 0.], [0., 0., 0.]]), t=jnp.zeros(()))
+        f, _ = rollout(step, params, s0, DT, 40)
+        return f.p[0, 1]
+
+    g = jax.grad(final_x)(1.0)
+    eps = 1e-5
+    fd = (final_x(1.0 + eps) - final_x(1.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-4)
+
+
+def test_gradient_wrt_restitution():
+    """d(bounce apex)/d(restitution) is nonzero and matches finite diff."""
+    static, _ = box_ground_world(gravity=(0.0, G))
+
+    def apex(e):
+        params = default_params(
+            static,
+            verts=np.array([np.zeros((4, 2)),
+                            [[-50., -1.], [50., -1.], [50., 1.], [-50., 1.]]]),
+            radius=[1.0, 0.0], restitution=e, gravity=(0.0, G))
+        s0 = WorldState(p=jnp.array([[0., 0., -2.5], [0., 0., 0.]]),
+                        v=jnp.zeros((2, 3)), t=jnp.zeros(()))
+        step = make_step(static)
+        _, traj = rollout(step, params, s0, DT, 120)
+        # apex AFTER the bounce (the initial point is higher than any
+        # rebound, so a whole-trajectory min would see zero gradient)
+        return -jnp.min(traj.p[60:, 0, 2])
+
+    g = jax.grad(apex)(0.6)
+    eps = 1e-5
+    fd = (apex(0.6 + eps) - apex(0.6 - eps)) / (2 * eps)
+    assert abs(float(g)) > 1e-3
+    np.testing.assert_allclose(g, fd, rtol=1e-3)
