@@ -27,4 +27,4 @@ PyTrees, jit/vmap/scan/shard-compatible by construction.
 
 __version__ = "0.1.0"
 
-from lcp_physics_tpu import lcp, core, physics, parallel  # noqa: F401
+from lcp_physics_tpu import utils, lcp, core, physics, parallel  # noqa: F401

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lcp_physics_tpu.physics.utils import left_orthogonal, rotate
+from lcp_physics_tpu.utils import left_orthogonal, rotate
 
 _TINY = 1e-12
 

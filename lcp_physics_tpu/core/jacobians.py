@@ -18,7 +18,7 @@ import jax
 
 from lcp_physics_tpu.core.geometry import Contacts
 from lcp_physics_tpu.core.state import SceneStatic
-from lcp_physics_tpu.physics.utils import cross_2d, orthogonal_tangents, rotate
+from lcp_physics_tpu.utils import cross_2d, orthogonal_tangents, rotate
 
 
 def _point_velocity_row(r):

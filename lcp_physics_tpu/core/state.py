@@ -156,7 +156,7 @@ def default_params(static: SceneStatic, verts, radius, mass=1.0,
                    inertia=None, force_params=(), dtype=None):
     """Convenience constructor filling per-body parameter arrays."""
     import jax.numpy as jnp
-    from lcp_physics_tpu.physics.utils import Defaults, polygon_inertia
+    from lcp_physics_tpu.utils import Defaults, polygon_inertia
 
     dtype = dtype or Defaults.dtype()
     N = static.n_bodies

@@ -40,7 +40,7 @@ from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
                                             constraint_position_error)
 from lcp_physics_tpu.core.state import SceneParams, SceneStatic, WorldState
 from lcp_physics_tpu.lcp import lcp_solve
-from lcp_physics_tpu.physics.utils import SimConfig
+from lcp_physics_tpu.utils import SimConfig
 
 
 class StepDiagnostics(NamedTuple):
@@ -89,6 +89,8 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
 
         contacts = find_contacts(state.p, params.verts, params.radius,
                                  counts, pairs, C)
+        if config.stop_contact_grad:
+            contacts = jax.tree.map(jax.lax.stop_gradient, contacts)
         if C == 0:
             v_new = lcp_solve(Mdiag, -u, jnp.zeros((0, 3 * N), dtype),
                               jnp.zeros((0,), dtype), Je, b_eq,

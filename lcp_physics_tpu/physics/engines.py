@@ -1,0 +1,59 @@
+"""Dynamics engines.
+
+Parity target: reference ``lcp_physics/physics/engines.py`` — abstract
+``Engine.solve_dynamics(world, dt)`` and ``PdipmEngine`` (LCP-based contact
+dynamics + ``post_stabilization``); SURVEY.md §2.1.
+
+The actual assembly/solve lives in the functional core
+(``core/step.py::make_step``).  ``PdipmEngine`` is the object-facade the
+``World`` front-end uses; it owns the compiled step cache so repeated
+``world.step()`` calls hit the same XLA executable.
+"""
+from __future__ import annotations
+
+import jax
+
+from lcp_physics_tpu.core.step import make_step
+from lcp_physics_tpu.physics.utils import SimConfig
+
+
+class Engine:
+    def solve_dynamics(self, world, dt):
+        raise NotImplementedError
+
+    def post_stabilization(self, world):
+        raise NotImplementedError
+
+
+class PdipmEngine(Engine):
+    """Batched-PDIPM LCP engine (the reference's only concrete engine)."""
+
+    def __init__(self, max_iter=None, eps=None):
+        self.max_iter = max_iter
+        self.eps = eps
+        self._cache = {}
+
+    def _config(self, world, post_stab=None):
+        return SimConfig(
+            fric_dirs=world.fric_dirs,
+            max_iter=self.max_iter or SimConfig.max_iter,
+            solver_eps=self.eps or world.eps,
+            tol=world.tol,
+            post_stabilization=(world.post_stab if post_stab is None
+                                else post_stab),
+            stop_contact_grad=not world.contact_callback.diff,
+        )
+
+    def compiled_step(self, world, post_stab=None):
+        key = (id(world.scene_static), self._config(world, post_stab))
+        if key not in self._cache:
+            step = make_step(world.scene_static,
+                             self._config(world, post_stab))
+            self._cache[key] = jax.jit(step)
+        return self._cache[key]
+
+    def solve_dynamics(self, world, dt):
+        """One velocity solve + integration on the world's current state;
+        returns (new_state, diagnostics)."""
+        step = self.compiled_step(world)
+        return step(world.scene_params, world.world_state, dt)

@@ -1,0 +1,307 @@
+"""The user-facing World: scene container, stepper and ``run_world`` loop.
+
+Parity target: reference ``lcp_physics/physics/world.py`` —
+``World(bodies, constraints, dt, engine, contact_callback, eps, tol,
+fric_dirs, post_stab, strict_no_penetration)``, ``World.step(fixed_dt)``,
+``get_v/set_v/get_p/set_p``, ``apply_forces(t)``, ``find_collisions()``,
+``M()``, ``Je()``, ``restitutions()``, and the module-level
+``run_world(world, run_time, print_time, screen, recorder)``
+(SURVEY.md §2.1, §3.1, §3.3).
+
+Role split (TPU-first): ``World`` owns the mutable, host-side scene; every
+``step()`` lowers to ONE cached jitted call of the functional core.  The
+reference's adaptive dt-halving on deep penetration is Python control flow
+around that jitted call (dt is a traced argument, so halving never
+recompiles).  For high-throughput batched/scan rollouts use
+``world.functional()`` to extract (static, params, state) and drive
+``core.make_step`` / ``parallel`` directly.
+"""
+from __future__ import annotations
+
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcp_physics_tpu.core.geometry import find_contacts
+from lcp_physics_tpu.core.jacobians import assemble_Je
+from lcp_physics_tpu.core.state import (SceneParams, WorldState,
+                                        make_scene_static)
+from lcp_physics_tpu.core.step import generalized_mass
+from lcp_physics_tpu.physics.contacts import (DiffContactHandler,
+                                              OdeContactHandler)
+from lcp_physics_tpu.physics.engines import Engine, PdipmEngine
+from lcp_physics_tpu.physics.utils import Defaults, get_tensor
+
+
+class World:
+    def __init__(self, bodies, constraints=(), dt=Defaults.DT, engine=None,
+                 contact_callback=None, eps=Defaults.EPSILON,
+                 tol=Defaults.TOL, fric_dirs=Defaults.FRIC_DIRS,
+                 post_stab=Defaults.POST_STABILIZATION,
+                 strict_no_penetration=True, gravity=(0.0, 0.0),
+                 c_max=None):
+        self.bodies = list(bodies)
+        self.constraints = list(constraints)
+        self.dt = float(dt)
+        self.engine: Engine = engine if engine is not None else PdipmEngine()
+        if contact_callback is None:
+            contact_callback = DiffContactHandler()
+        elif contact_callback in ("ode", OdeContactHandler):
+            contact_callback = OdeContactHandler()
+        elif contact_callback is DiffContactHandler:
+            contact_callback = DiffContactHandler()
+        self.contact_callback = contact_callback
+        self.eps = float(eps)
+        self.tol = float(tol)
+        self.fric_dirs = int(fric_dirs)
+        self.post_stab = bool(post_stab)
+        self.strict_no_penetration = bool(strict_no_penetration)
+        self.gravity = tuple(float(g) for g in gravity)
+        self._c_max = c_max
+
+        for i, b in enumerate(self.bodies):
+            b.world = self
+            b.index = i
+        self._index_of = {b: i for i, b in enumerate(self.bodies)}
+
+        self.t = 0.0
+        self._scene_dirty = True
+        self._state_dirty = True
+        self._static = None
+        self._params = None
+        self._state = None
+
+        if self.strict_no_penetration:
+            pen = float(self.max_penetration())
+            if pen > self.tol:
+                raise AssertionError(
+                    f"Initial penetration {pen:.3g} exceeds tol {self.tol:.3g}"
+                    " (strict_no_penetration)")
+
+    # -- scene lowering ---------------------------------------------------
+    def invalidate_scene(self):
+        self._scene_dirty = True
+
+    def invalidate_state(self):
+        self._state_dirty = True
+
+    def _build_scene(self):
+        bodies = self.bodies
+        N = len(bodies)
+        counts = [len(b.local_vertices()) for b in bodies]
+        V = max(counts)
+        verts = np.zeros((N, V, 2))
+        radius = np.zeros(N)
+        for i, b in enumerate(bodies):
+            lv = np.asarray(b.local_vertices(), float)
+            verts[i, :len(lv)] = lv
+            verts[i, len(lv):] = lv[-1]
+            radius[i] = getattr(b, "rad", 0.0)
+
+        no_contact = [(self._index_of[a], self._index_of[c])
+                      for a in bodies for c in a.no_contact
+                      if c in self._index_of]
+        joints = tuple(c.spec(self._index_of) for c in self.constraints)
+
+        # Force table: one (body_index, force_func) slot per attached force;
+        # multipliers become the differentiable force_params tuple.
+        force_specs = tuple((i, f.force_func)
+                            for i, b in enumerate(bodies) for f in b.forces)
+        multipliers = tuple(
+            get_tensor(f.multiplier)
+            for b in bodies for f in b.forces)
+
+        if force_specs:
+            def force_fn(force_params, state, t):
+                f = jnp.zeros((N, 3), state.p.dtype)
+                for k, (bi, func) in enumerate(force_specs):
+                    f = f.at[bi].add(force_params[k]
+                                     * jnp.asarray(func(t), state.p.dtype))
+                return f
+        else:
+            force_fn = None
+
+        self._static = make_scene_static(
+            counts, joints=joints, c_max=self._c_max,
+            no_contact=no_contact, force_fn=force_fn)
+        dtype = Defaults.dtype()
+        self._params = SceneParams(
+            mass=jnp.asarray([b.mass for b in bodies], dtype),
+            inertia=jnp.asarray([b.ang_inertia for b in bodies], dtype),
+            restitution=jnp.asarray([b.restitution for b in bodies], dtype),
+            fric_coeff=jnp.asarray([b.fric_coeff for b in bodies], dtype),
+            radius=jnp.asarray(radius, dtype),
+            verts=jnp.asarray(verts, dtype),
+            gravity=jnp.asarray(self.gravity, dtype),
+            force_params=multipliers)
+        self._scene_dirty = False
+
+    def _build_state(self):
+        dtype = Defaults.dtype()
+        self._state = WorldState(
+            p=jnp.stack([jnp.asarray(b.p, dtype) for b in self.bodies]),
+            v=jnp.stack([jnp.asarray(b.v, dtype) for b in self.bodies]),
+            t=jnp.asarray(self.t, dtype))
+        self._state_dirty = False
+
+    @property
+    def scene_static(self):
+        if self._scene_dirty:
+            self._build_scene()
+        return self._static
+
+    @property
+    def scene_params(self):
+        if self._scene_dirty:
+            self._build_scene()
+        return self._params
+
+    @property
+    def world_state(self):
+        if self._scene_dirty:
+            self._build_scene()
+        if self._state_dirty:
+            self._build_state()
+        return self._state
+
+    def functional(self):
+        """(static, params, state) for driving the functional core / batch
+        APIs directly."""
+        return self.scene_static, self.scene_params, self.world_state
+
+    # -- stepping ---------------------------------------------------------
+    def step(self, fixed_dt=False):
+        """Advance by ``self.dt``.
+
+        fixed_dt=False (reference default): take one solver step of size
+        ``dt``; on deep new penetration (> tol) retry with dt/2, dt/4, ...
+        and advance time by the accepted (possibly smaller) step.
+        fixed_dt=True: keep sub-stepping until a full ``dt`` of simulated
+        time has been covered, preserving the no-penetration guarantee.
+        """
+        target = self.dt
+        advanced = 0.0
+        step_fn = self.engine.compiled_step(self)
+        while True:
+            dt_try = target - advanced
+            state = self.world_state
+            for _ in range(6):  # bounded dt-halving (SURVEY §3.1 backtrack)
+                new_state, diag = step_fn(self.scene_params, state, dt_try)
+                if (not self.strict_no_penetration
+                        or float(diag.max_penetration) <= self.tol
+                        or dt_try < 1e-6 * target):
+                    break
+                dt_try = dt_try / 2.0
+            self._state = new_state
+            self._state_dirty = False
+            advanced += dt_try
+            self.t += dt_try
+            if not fixed_dt or advanced >= target - 1e-12:
+                break
+        self._scatter_state()
+        return self._state
+
+    def _scatter_state(self):
+        for i, b in enumerate(self.bodies):
+            # direct attribute writes: don't re-mark state dirty
+            b.__dict__["p"] = self._state.p[i]
+            b.__dict__["v"] = self._state.v[i]
+
+    # -- reference-parity accessors --------------------------------------
+    def get_p(self):
+        return self.world_state.p.reshape(-1)
+
+    def get_v(self):
+        return self.world_state.v.reshape(-1)
+
+    def set_p(self, p):
+        p = jnp.asarray(p).reshape(len(self.bodies), 3)
+        self._state = WorldState(p=p, v=self.world_state.v,
+                                 t=self.world_state.t)
+        self._state_dirty = False
+        self._scatter_state()
+
+    def set_v(self, v):
+        v = jnp.asarray(v).reshape(len(self.bodies), 3)
+        self._state = WorldState(p=self.world_state.p, v=v,
+                                 t=self.world_state.t)
+        self._state_dirty = False
+        self._scatter_state()
+
+    def apply_forces(self, t):
+        """Total generalized force vector (3N,) at time t."""
+        from lcp_physics_tpu.core.step import total_force
+
+        return total_force(self.scene_static, self.scene_params,
+                           self.world_state).reshape(-1)
+
+    def M(self):
+        """Generalized mass matrix (3N, 3N), block diag([I, m, m])."""
+        return jnp.diag(generalized_mass(self.scene_params))
+
+    def Je(self):
+        return assemble_Je(self.scene_static, self.world_state.p)
+
+    def restitutions(self):
+        return self.scene_params.restitution
+
+    def find_collisions(self):
+        """Refresh ``self.collisions`` in the reference's format:
+        a list of ((normal, p1, p2, penetration), b1_idx, b2_idx)."""
+        static, params, state = self.functional()
+        cts = self.contact_callback.find(
+            state.p, params.verts, params.radius, static.counts_np(),
+            static.pair_lists(), static.c_max)
+        collisions = []
+        valid = np.asarray(cts.valid)
+        for k in np.nonzero(valid)[0]:
+            collisions.append(((cts.normal[k], cts.ra[k], cts.rb[k],
+                                cts.depth[k]), int(cts.ia[k]),
+                               int(cts.ib[k])))
+        self.collisions = collisions
+        return collisions
+
+    def max_penetration(self):
+        static, params, state = self.functional()
+        cts = find_contacts(state.p, params.verts, params.radius,
+                            static.counts_np(), static.pair_lists(),
+                            static.c_max)
+        return jnp.max(jnp.where(cts.valid, cts.depth, 0.0), initial=0.0)
+
+
+def run_world(world, run_time=10.0, print_time=False, screen=None,
+              recorder=None, pixels_per_meter=1, background=(0, 0, 0)):
+    """Drive ``world`` until ``world.t >= run_time``, optionally rendering
+    to a pygame screen and recording frames (reference ``run_world``)."""
+    import sys
+
+    wall_start = _time.time()
+    while world.t < run_time:
+        world.step()
+        if screen is not None:
+            import pygame
+
+            for event in pygame.event.get():
+                if event.type == pygame.QUIT:
+                    return
+            screen.fill(background)
+            for b in world.bodies:
+                b.draw(screen, pixels_per_meter)
+            for c in world.constraints:
+                c.draw(screen, pixels_per_meter)
+            pygame.display.flip()
+            if recorder is not None:
+                recorder.record(world.t)
+            # pace to real time like the reference viewer
+            ahead = world.t - (_time.time() - wall_start)
+            if ahead > 0:
+                _time.sleep(min(ahead, world.dt))
+        elif recorder is not None:
+            recorder.record(world.t)
+        if print_time:
+            print(f"\rt={world.t:.3f} wall={_time.time() - wall_start:.3f}",
+                  end="", file=sys.stderr)
+    if print_time:
+        print(file=sys.stderr)

@@ -1,0 +1,208 @@
+"""Math helpers, defaults and host-side recording utilities.
+
+Parity target: reference ``lcp_physics/physics/utils.py`` (``Defaults``,
+``Indices``, ``cross_2d``, ``left_orthogonal``, ``rotation_matrix``,
+``get_tensor``, ``cart_to_polar``/``polar_to_cart``, ``Recorder``, ``plot``).
+
+The math helpers here are pure jnp functions (usable inside jit/vmap); the
+``Recorder``/``plot`` utilities are host-side only, exactly as in the
+reference where pygame/matplotlib never touch the math path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Indices:
+    """Index layout of the per-body generalized coordinate [rot, x, y]."""
+
+    ROT = 0
+    X = 1
+    Y = 2
+
+
+class Defaults:
+    """Default simulation constants.
+
+    Mirrors the knob set of the reference ``Defaults`` (DT, EPSILON, TOL,
+    FRIC_DIRS, FRIC_COEFF, RESTITUTION, ENGINE, CONTACT, POST_STABILIZATION,
+    DTYPE, DEVICE).  Values are our own choices (the reference mount was
+    empty; see SURVEY.md §0) but are kept in the same ranges the companion
+    paper describes.
+    """
+
+    DT = 1.0 / 30.0
+    # Interior-point / LCP solver knobs.
+    EPSILON = 1e-7        # complementarity tolerance target of the PDIPM
+    MAX_ITER = 20         # fixed PDIPM trip count (masked early convergence)
+    # Contact handling.
+    TOL = 1e-6            # penetration tolerance before dt-halving backtrack
+    FRIC_DIRS = 2         # tangent direction pairs per contact (2D: +t, -t)
+    FRIC_COEFF = 0.9
+    RESTITUTION = 0.5
+    POST_STABILIZATION = False
+    # Engine/contact callables are resolved lazily to avoid import cycles;
+    # see physics.engines.PdipmEngine / physics.contacts.DiffContactHandler.
+    ENGINE = None
+    CONTACT = None
+
+    # Numerics: float64 for reference-parity runs on CPU (requires
+    # jax_enable_x64), float32 for TPU production runs.
+    @staticmethod
+    def dtype():
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (hashable) simulation configuration — safe as a jit static arg.
+
+    The functional core takes this instead of reading the mutable ``Defaults``
+    class, so every compiled step is pinned to an explicit configuration.
+    """
+
+    fric_dirs: int = Defaults.FRIC_DIRS
+    max_iter: int = Defaults.MAX_ITER
+    solver_eps: float = Defaults.EPSILON
+    tol: float = Defaults.TOL
+    post_stabilization: bool = Defaults.POST_STABILIZATION
+    strict_no_penetration: bool = True
+    max_dt_halvings: int = 6
+    # Block gradients through contact geometry (reference OdeContactHandler
+    # semantics: contacts from the ODE C library carry no gradients).
+    stop_contact_grad: bool = False
+
+
+def get_tensor(x, dtype=None):
+    """Coerce scalars/lists/np arrays to a jnp array of the working dtype."""
+    dtype = dtype or Defaults.dtype()
+    return jnp.asarray(x, dtype=dtype)
+
+
+def cross_2d(a, b):
+    """Scalar 2D cross product a_x b_y - a_y b_x (broadcasts on leading dims)."""
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def left_orthogonal(v):
+    """Rotate v by -90 degrees: (x, y) -> (y, -x).
+
+    ``left_orthogonal(omega_vec)`` conventions follow the reference helper of
+    the same name; note ``omega x r`` in 2D is ``omega * perp(r)`` with
+    ``perp(r) = (-r_y, r_x) = -left_orthogonal(r)``.
+    """
+    return jnp.stack([v[..., 1], -v[..., 0]], axis=-1)
+
+
+def perp_2d(v):
+    """Rotate v by +90 degrees: (x, y) -> (-y, x).  omega x r = omega * perp(r)."""
+    return jnp.stack([-v[..., 1], v[..., 0]], axis=-1)
+
+
+def rotation_matrix(theta):
+    """2x2 rotation matrix (supports batched theta with leading dims)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    row0 = jnp.stack([c, -s], axis=-1)
+    row1 = jnp.stack([s, c], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def rotate(vec, theta):
+    """Rotate 2-vector(s) by angle(s) theta. vec: (..., 2), theta: (...)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x = c * vec[..., 0] - s * vec[..., 1]
+    y = s * vec[..., 0] + c * vec[..., 1]
+    return jnp.stack([x, y], axis=-1)
+
+
+def cart_to_polar(v, positive=True):
+    r = jnp.linalg.norm(v, axis=-1)
+    theta = jnp.arctan2(v[..., 1], v[..., 0])
+    if positive:
+        theta = jnp.where(theta < 0, theta + 2 * jnp.pi, theta)
+    return r, theta
+
+
+def polar_to_cart(r, theta):
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def orthogonal_tangents(n, fric_dirs=2):
+    """Friction tangent directions for a contact normal n (..., 2).
+
+    Returns (..., fric_dirs, 2): for fric_dirs=2 the pair (+t, -t) with
+    t = perp(n); higher counts fan directions around the unit circle (the
+    reference only ever uses 2 in 2D).
+    """
+    t = perp_2d(n)
+    dirs = [t, -t]
+    for k in range(2, fric_dirs):
+        ang = jnp.pi * k / fric_dirs
+        dirs.append(rotate(t, ang))
+    return jnp.stack(dirs[:fric_dirs], axis=-2)
+
+
+def polygon_inertia(verts, mass):
+    """Moment of inertia (about centroid) of a convex polygon with vertices
+    ``verts`` (V, 2) given total ``mass``.  Standard polygon second-moment
+    formula; matches the reference Hull inertia computation semantics."""
+    v = verts
+    v2 = jnp.roll(v, -1, axis=0)
+    cross = cross_2d(v, v2)
+    num = jnp.sum(cross * (jnp.sum(v * v, axis=-1) + jnp.sum(v * v2, axis=-1)
+                           + jnp.sum(v2 * v2, axis=-1)))
+    den = 6.0 * jnp.sum(cross)
+    return mass * num / den
+
+
+def polygon_centroid(verts):
+    """Centroid of a convex polygon (V, 2)."""
+    v = verts
+    v2 = jnp.roll(v, -1, axis=0)
+    cross = cross_2d(v, v2)
+    area6 = 3.0 * jnp.sum(cross)
+    cx = jnp.sum((v[:, 0] + v2[:, 0]) * cross) / area6
+    cy = jnp.sum((v[:, 1] + v2[:, 1]) * cross) / area6
+    return jnp.stack([cx, cy])
+
+
+class Recorder:
+    """Dump rendered frames to disk at a fixed recording dt (host-side).
+
+    Parity: reference ``Recorder`` in ``physics/utils.py``.
+    """
+
+    def __init__(self, dt, screen, path=os.path.join(".", "videos", "frames")):
+        self.dt = dt
+        self.prev_t = 0.0
+        self.frame = 0
+        self.screen = screen
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def record(self, t):
+        if t - self.prev_t >= self.dt:
+            import pygame  # lazy: never on the math path
+
+            pygame.image.save(
+                self.screen, os.path.join(self.path, f"{self.frame:07d}.bmp")
+            )
+            self.frame += 1
+            self.prev_t += self.dt
+
+
+def plot(y_axis, x_axis=None):
+    """Quick matplotlib line plot (host-side debugging helper)."""
+    import matplotlib.pyplot as plt  # lazy
+
+    y = np.asarray(y_axis)
+    if x_axis is None:
+        plt.plot(np.arange(len(y)), y)
+    else:
+        plt.plot(np.asarray(x_axis), y)
+    plt.show()

@@ -1,0 +1,179 @@
+"""OO parity-layer tests: World/Body/constraints/forces front-end over the
+functional core (reference API surface, SURVEY.md §2.1)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcp_physics_tpu.physics import (Circle, Defaults, ExternalForce,
+                                     FixedJoint, Hull, Joint, OdeContactHandler,
+                                     Rect, RotConstraint, TotalConstraint,
+                                     World, XConstraint, YConstraint,
+                                     down_force, hor_impulse, run_world)
+
+
+def make_ground(y=20.0, w=100.0):
+    ground = Rect([0.0, 50.0, y + 1.0], [w, 2.0], mass=100.0)
+    return ground, TotalConstraint(ground)
+
+
+def test_bodies_construction():
+    c = Circle([10.0, 5.0], rad=2.0, mass=3.0)
+    assert c.ang_inertia == pytest.approx(0.5 * 3.0 * 4.0)
+    np.testing.assert_allclose(c.p, [0.0, 10.0, 5.0])
+    r = Rect([0.0, 0.0], [4.0, 2.0], mass=2.0)
+    assert r.ang_inertia == pytest.approx(2.0 * (16 + 4) / 12)
+    assert len(r.local_vertices()) == 4
+    h = Hull([0.0, 0.0], [[0, 0], [2, 0], [2, 2], [0, 2]])
+    # centroid-shifted: com at (1,1), local verts centered
+    np.testing.assert_allclose(h.p[1:3], [1.0, 1.0], atol=1e-12)
+    np.testing.assert_allclose(np.mean(h.verts, axis=0), 0.0, atol=1e-12)
+
+
+def test_world_basic_step_and_accessors():
+    ball = Circle([50.0, 10.0], rad=1.0)
+    ground, tc = make_ground()
+    w = World([ball, ground], [tc], gravity=(0.0, 10.0))
+    assert w.get_p().shape == (6,)
+    assert w.M().shape == (6, 6)
+    assert w.Je().shape == (3, 6)
+    np.testing.assert_allclose(w.restitutions(),
+                               [Defaults.RESTITUTION] * 2)
+    t0 = w.t
+    w.step()
+    assert w.t == pytest.approx(t0 + w.dt)
+    # gravity accelerated the ball downward (y grows downward)
+    assert float(ball.v[2]) > 0
+    assert float(ball.p[2]) > 10.0
+
+
+def test_world_bounce_and_collisions_list():
+    ball = Circle([50.0, 15.0], rad=1.0, restitution=0.6)
+    ground, tc = make_ground(y=20.0)
+    w = World([ball, ground], [tc], gravity=(0.0, 10.0))
+    run_world(w, run_time=4.0)
+    # ball has settled on the ground surface (y ~ 19), not fallen through
+    assert 18.7 <= float(ball.p[2]) <= 19.2
+    assert abs(float(ball.v[2])) < 1.0
+    cols = w.find_collisions()
+    assert isinstance(cols, list) and len(cols) >= 1
+    (normal, p1, p2, pen), b1, b2 = cols[0]
+    assert {b1, b2} == {0, 1}
+
+
+def test_strict_no_penetration_rejects_bad_scene():
+    a = Circle([0.0, 0.0], rad=1.0)
+    b = Circle([0.5, 0.0], rad=1.0)
+    with pytest.raises(AssertionError):
+        World([a, b])
+
+
+def test_no_contact_exclusion_via_bodies():
+    a = Circle([0.0, 0.0], rad=1.0)
+    b = Circle([0.5, 0.0], rad=1.0)
+    a.add_no_contact(b)
+    w = World([a, b])  # no assertion: pair excluded
+    assert float(w.max_penetration()) == 0.0
+
+
+def test_external_force_accelerates():
+    c = Circle([0.0, 0.0], rad=1.0, mass=2.0)
+    c.add_force(ExternalForce(hor_impulse, multiplier=4.0))
+    w = World([c])
+    w.step()
+    # a = F/m = 2 -> v ~ 2 * dt after one step
+    np.testing.assert_allclose(float(c.v[1]), 2.0 * w.dt, rtol=1e-6)
+    # impulse window ends at t = 0.1: velocity stops growing
+    for _ in range(int(0.2 / w.dt)):
+        w.step()
+    v_end = float(c.v[1])
+    w.step()
+    np.testing.assert_allclose(float(c.v[1]), v_end, atol=1e-9)
+
+
+def test_joint_chain_hangs():
+    """Two-link chain pinned to the world swings and keeps its links
+    connected (the reference chain demo skeleton)."""
+    b1 = Circle([10.0, 0.0], rad=0.5)
+    b2 = Circle([20.0, 0.0], rad=0.5)
+    j1 = Joint(b1, None, [0.0, 0.0])
+    j1_spec_anchor = (0.0, 0.0)
+    j2 = Joint(b1, b2, [15.0, 0.0])
+    w = World([b1, b2], [j1, j2], gravity=(0.0, 10.0))
+    for _ in range(60):
+        w.step()
+    # links still connected: |p1 - p2| == 10 (within drift tolerance)
+    d = np.linalg.norm(np.asarray(b1.p[1:3]) - np.asarray(b2.p[1:3]))
+    assert abs(d - 10.0) < 0.15
+    # world anchor still held
+    a = np.asarray(b1.p[1:3])
+    r = 10.0  # |b1 - anchor|
+    assert abs(np.linalg.norm(a - np.asarray(j1_spec_anchor)) - r) < 0.15
+    # chain fell downward
+    assert float(b1.p[2]) > 0.5
+
+
+def test_axis_constraints():
+    c = Circle([5.0, 5.0], rad=1.0)
+    w = World([c], [XConstraint(c)], gravity=(10.0, 10.0))
+    for _ in range(10):
+        w.step()
+    np.testing.assert_allclose(float(c.p[1]), 5.0, atol=1e-8)  # x frozen
+    assert float(c.p[2]) > 5.0                                  # y falls
+
+    c2 = Circle([5.0, 5.0], rad=1.0)
+    w2 = World([c2], [YConstraint(c2), RotConstraint(c2)],
+               gravity=(10.0, 10.0))
+    for _ in range(10):
+        w2.step()
+    np.testing.assert_allclose(float(c2.p[2]), 5.0, atol=1e-8)
+    np.testing.assert_allclose(float(c2.p[0]), 0.0, atol=1e-8)
+    assert float(c2.p[1]) > 5.0
+
+
+def test_fixed_joint_welds():
+    a = Rect([0.0, 0.0], [2.0, 2.0])
+    b = Rect([3.0, 0.0], [2.0, 2.0])
+    fj = FixedJoint(a, b)
+    w = World([a, b], [fj], gravity=(0.0, 10.0))
+    for _ in range(30):
+        w.step()
+    d = np.asarray(b.p) - np.asarray(a.p)
+    np.testing.assert_allclose(d[0], 0.0, atol=1e-6)       # same rotation
+    np.testing.assert_allclose(np.linalg.norm(d[1:3]), 3.0, atol=5e-3)
+
+
+def test_ode_contact_handler_blocks_geometry_grads():
+    import jax
+
+    def loss(y0):
+        ball = Circle([0.0, float(0)], rad=1.0)
+        ground = Rect([0.0, 5.0], [50.0, 2.0])
+        w = World([ball, ground], [TotalConstraint(ground)],
+                  contact_callback=OdeContactHandler(), gravity=(0.0, 10.0))
+        static, params, state = w.functional()
+        state = state.__class__(p=state.p.at[0, 2].set(y0), v=state.v,
+                                t=state.t)
+        from lcp_physics_tpu.core import make_step, rollout
+        step = make_step(static, w.engine._config(w))
+        f, _ = rollout(step, params, state, w.dt, 30)
+        return f.p[0, 2]
+
+    g = jax.grad(loss)(0.0)
+    assert np.isfinite(float(g))
+
+
+def test_run_world_headless():
+    ball = Circle([50.0, 10.0], rad=1.0)
+    ground, tc = make_ground()
+    w = World([ball, ground], [tc], gravity=(0.0, 10.0), dt=1 / 30)
+    run_world(w, run_time=0.5)
+    assert w.t >= 0.5
+
+
+def test_world_step_fixed_dt_covers_full_dt():
+    ball = Circle([50.0, 18.9], rad=1.0, restitution=0.0)
+    ground, tc = make_ground(y=20.0)
+    w = World([ball, ground], [tc], gravity=(0.0, 10.0))
+    t0 = w.t
+    w.step(fixed_dt=True)
+    assert w.t == pytest.approx(t0 + w.dt, abs=1e-9)
