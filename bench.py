@@ -1,0 +1,162 @@
+"""Benchmark driver entry point.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary north-star metric (batched contact-LCP solves/sec/chip; target
+10,000 — BASELINE.md).  Secondary metrics (world steps/sec on the 64-body
+scene, fwd+bwd rollout latency) go to stderr.
+
+Runs on whatever backend JAX selects (the real TPU chip under the driver),
+float32.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 10_000.0  # LCP solves/sec/chip target (BASELINE.json)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_lcp_solves(B=4096, n=24, m=32, q=3):
+    """Batched mixed-LCP solves of physics-representative size:
+    n=24 dofs (8 bodies), m=32 inequality rows (8 contacts x (2+fd)),
+    q=3 equality rows."""
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    rng = np.random.default_rng(0)
+    dt = jnp.float32
+    L = rng.standard_normal((B, n, n)).astype(np.float32)
+    Q = jnp.asarray(L @ L.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
+    p = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    G = jnp.asarray(rng.standard_normal((B, m, n)).astype(np.float32))
+    z0 = rng.standard_normal((B, n)).astype(np.float32)
+    s0 = rng.uniform(0.5, 1.5, (B, m)).astype(np.float32)
+    h = jnp.asarray(np.einsum("bmn,bn->bm", np.asarray(G), z0) + s0)
+    A = jnp.asarray(rng.standard_normal((B, q, n)).astype(np.float32))
+    b = jnp.asarray(np.einsum("bqn,bn->bq", np.asarray(A), z0))
+    S = rng.standard_normal((B, m, m)).astype(np.float32)
+    F = jnp.asarray(S - S.transpose(0, 2, 1))
+
+    solve = jax.jit(jax.vmap(
+        lambda Q, p, G, h, A, b, F: lcp_solve(
+            Q, p, G, h, A, b, F, max_iter=15, tol=1e-6)))
+    sec = time_fn(solve, Q, p, G, h, A, b, F)
+    rate = B / sec
+    log(f"[bench] batched LCP: B={B} n={n} m={m} q={q}: "
+        f"{sec * 1e3:.1f} ms/batch -> {rate:,.0f} solves/sec")
+    return rate
+
+
+def bench_world_steps(B=256, n_steps=16):
+    """Batched 64-body world stepping (the BASELINE '64 bodies' metric)."""
+    from lcp_physics_tpu.core import (WorldState, default_params,
+                                      make_scene_static)
+    from lcp_physics_tpu.parallel import make_batched_step, tile_state
+    from lcp_physics_tpu.utils import SimConfig
+
+    N = 64
+    rng = np.random.default_rng(1)
+    counts = [1] * N
+    static = make_scene_static(counts, c_max=128)
+    params = default_params(
+        static, verts=np.zeros((N, 1, 2), np.float32),
+        radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
+        restitution=0.4, dtype=jnp.float32)
+    # loose grid with small jitter: some touching, most free
+    gx, gy = np.meshgrid(np.arange(8), np.arange(8))
+    pos = np.stack([gx.ravel() * 2.6, gy.ravel() * 2.6], -1)
+    pos = pos + rng.uniform(-0.25, 0.25, pos.shape)
+    p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
+    state = WorldState(p=jnp.asarray(p), v=jnp.zeros((N, 3), jnp.float32),
+                       t=jnp.zeros((), jnp.float32))
+    states = tile_state(state, B)
+
+    config = SimConfig(max_iter=12, solver_eps=1e-5)
+    bstep = make_batched_step(static, config)
+
+    @jax.jit
+    def run(params, states):
+        def body(s, _):
+            s2, _ = bstep(params, s, 0.01)
+            return s2, ()
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return out
+
+    sec = time_fn(run, params, states, iters=3)
+    rate = B * n_steps / sec
+    log(f"[bench] world steps (64 bodies, C=128): B={B} x {n_steps} steps: "
+        f"{sec * 1e3:.1f} ms -> {rate:,.0f} world-steps/sec")
+    return rate
+
+
+def bench_fwd_bwd(B=64, n_steps=20):
+    """Forward+backward latency through a contact rollout (grad wrt
+    restitution/mass), the inference-demo hot path."""
+    from lcp_physics_tpu.core import (WorldState, default_params,
+                                      make_scene_static, make_step)
+    from lcp_physics_tpu.parallel import make_batched_step, tile_state
+    from lcp_physics_tpu.utils import SimConfig
+
+    N = 8
+    static = make_scene_static([1] * N, c_max=16)
+    params = default_params(
+        static, verts=np.zeros((N, 1, 2), np.float32),
+        radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
+        dtype=jnp.float32)
+    pos = np.stack([np.arange(N) * 2.2, np.zeros(N)], -1)
+    p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
+    state = WorldState(p=jnp.asarray(p), v=jnp.zeros((N, 3), jnp.float32),
+                       t=jnp.zeros((), jnp.float32))
+    states = tile_state(state, B)
+    bstep = make_batched_step(static, SimConfig(max_iter=12,
+                                                solver_eps=1e-5))
+
+    @jax.jit
+    @jax.value_and_grad
+    def loss(params):
+        def body(s, _):
+            s2, _ = bstep(params, s, 0.01)
+            return s2, ()
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return jnp.mean(out.p ** 2)
+
+    sec = time_fn(loss, params, iters=3)
+    log(f"[bench] fwd+bwd rollout (B={B}, 8 bodies, {n_steps} steps): "
+        f"{sec * 1e3:.1f} ms")
+    return sec
+
+
+def main():
+    log(f"[bench] devices: {jax.devices()}")
+    rate = bench_lcp_solves()
+    try:
+        bench_world_steps()
+        bench_fwd_bwd()
+    except Exception as e:  # secondary metrics must not kill the primary
+        log(f"[bench] secondary benches failed: {e!r}")
+    print(json.dumps({
+        "metric": "batched contact-LCP solves/sec/chip",
+        "value": round(rate, 1),
+        "unit": "solves/sec",
+        "vs_baseline": round(rate / NORTH_STAR, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
