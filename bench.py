@@ -24,13 +24,39 @@ def log(msg):
 
 
 def time_fn(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)  # warmup/compile
+    """Wall-time fn averaged over iters, forcing full device->host sync
+    (block_until_ready alone does not sync through the axon tunnel)."""
+    _materialize(fn(*args))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _materialize(tree):
+    return [float(jnp.ravel(x)[0]) for x in jax.tree.leaves(tree)
+            if hasattr(x, "ravel") and x.size]
+
+
+def time_chained(fn, *args, reps=10):
+    """Device-side timing: run fn `reps` times inside one jit with a data
+    dependency chain, so per-call tunnel latency amortizes away."""
+    @jax.jit
+    def g(*a):
+        def body(i, acc):
+            out = fn(*jax.tree.map(
+                lambda x: x + acc * 1e-30 if jnp.issubdtype(
+                    jnp.asarray(x).dtype, jnp.floating) else x, a))
+            leaves = [jnp.sum(l) for l in jax.tree.leaves(out)
+                      if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+            return acc + sum(leaves)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(g(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(g(*args))
+    return (time.perf_counter() - t0) / reps
 
 
 def bench_lcp_solves(B=4096, n=24, m=32, q=3):
@@ -53,10 +79,9 @@ def bench_lcp_solves(B=4096, n=24, m=32, q=3):
     S = rng.standard_normal((B, m, m)).astype(np.float32)
     F = jnp.asarray(S - S.transpose(0, 2, 1))
 
-    solve = jax.jit(jax.vmap(
-        lambda Q, p, G, h, A, b, F: lcp_solve(
-            Q, p, G, h, A, b, F, max_iter=15, tol=1e-6)))
-    sec = time_fn(solve, Q, p, G, h, A, b, F)
+    solve = lambda Q, p, G, h, A, b, F: lcp_solve(
+        Q, p, G, h, A, b, F, max_iter=15, tol=1e-6)
+    sec = time_chained(solve, Q, p, G, h, A, b, F, reps=5)
     rate = B / sec
     log(f"[bench] batched LCP: B={B} n={n} m={m} q={q}: "
         f"{sec * 1e3:.1f} ms/batch -> {rate:,.0f} solves/sec")

@@ -9,18 +9,21 @@ TPU-first design
 ----------------
 One fused, fixed-shape traced path per scene: contacts live in a padded
 buffer, the contact-free case is just "all slots masked" (the reference
-branches to a separate dense solve; here padding keeps a single XLA program).
-``step_world`` is pure: ``(params, state, dt) -> (state', diagnostics)``,
-jit/vmap/grad/scan-compatible.  Rollouts are ``lax.scan`` with optional
-``jax.checkpoint`` segments for long-horizon BPTT (SURVEY.md §5.7).
+branches to a separate dense solve; here padding keeps a single XLA
+program).  ``make_step`` builds the single-world pure step; ``make_step_batched``
+builds the BATCH-NATIVE step: per-world assembly/integration are vmapped
+(cheap elementwise work), but the LCP solve happens ONCE on the stacked
+(B, ...) systems — so the heavy batched KKT factorizations run through the
+solver's native batch path (and its Pallas lane-batched kernels on TPU)
+instead of being vmap-wrapped.
 
 Velocity-level contact model (Stewart–Trinkle / Anitescu–Potra, the same
 formulation the reference assembles):
 
     M v' = M v + dt f + Jc^T lam + Jf^T beta - Je^T nu
-    0 <= lam  \perp  Jc v' + e (Jc v)         >= 0     (restitution)
-    0 <= beta \perp  Jf v' + E gamma          >= 0     (max dissipation)
-    0 <= gamma\perp  mu lam - E^T beta        >= 0     (friction cone)
+    0 <= lam  ⊥  Jc v' + e (Jc v)         >= 0     (restitution)
+    0 <= beta ⊥  Jf v' + E gamma          >= 0     (max dissipation)
+    0 <= gamma⊥  mu lam - E^T beta        >= 0     (friction cone)
     Je v' = 0
 
 mapped onto the solver's (Q, p, G, h, A, b, F) blocks with
@@ -65,19 +68,16 @@ def total_force(static: SceneStatic, params: SceneParams, state: WorldState):
     return f
 
 
-def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
-    """Build the jittable fixed-dt step function for one scene structure.
-
-    Returns ``step(params, state, dt) -> (state', StepDiagnostics)``.
-    ``vmap`` it over a leading world axis for batched simulation.
-    """
+def make_assemble(static: SceneStatic, config: SimConfig):
+    """Per-world LCP block assembly: (params, state, dt) ->
+    (blocks dict, contacts).  Pure, vmappable."""
     pairs = static.pair_lists()
     counts = static.counts_np()
     N = static.n_bodies
     C = static.c_max
     fd = config.fric_dirs
 
-    def solve_velocities(params, state, dt):
+    def assemble(params, state, dt):
         dtype = state.p.dtype
         Mdiag = generalized_mass(params)
         v = state.v.reshape(-1)
@@ -92,10 +92,10 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
         if config.stop_contact_grad:
             contacts = jax.tree.map(jax.lax.stop_gradient, contacts)
         if C == 0:
-            v_new = lcp_solve(Mdiag, -u, jnp.zeros((0, 3 * N), dtype),
-                              jnp.zeros((0,), dtype), Je, b_eq,
-                              max_iter=config.max_iter, tol=config.solver_eps)
-            return v_new.reshape(N, 3), contacts
+            blocks = dict(Q=Mdiag, p=-u, G=jnp.zeros((0, 3 * N), dtype),
+                          h=jnp.zeros((0,), dtype), A=Je, b=b_eq,
+                          F=jnp.zeros((0, 0), dtype))
+            return blocks, contacts
 
         Jc, Jf, E = assemble_contact_jacobians(contacts, N, fd)
         mask = contacts.valid.astype(dtype)
@@ -120,52 +120,93 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
                         jnp.zeros((fd * C,), dtype), 1.0)
         h_g = jnp.where(contacts.valid, jnp.zeros((C,), dtype), 1.0)
         h = jnp.concatenate([h_n, h_f, h_g])
+        blocks = dict(Q=Mdiag, p=-u, G=G, h=h, A=Je, b=b_eq, F=F)
+        return blocks, contacts
 
-        v_new = lcp_solve(Mdiag, -u, G, h, Je, b_eq, F,
-                          max_iter=config.max_iter, tol=config.solver_eps)
-        return v_new.reshape(N, 3), contacts
-
-    def post_stabilize(params, p):
-        """Position projection removing joint drift and penetration
-        (reference ``PdipmEngine.post_stabilization``): one extra LCP in
-        position space, p <- p + dp with M-weighted minimal dp."""
+    def assemble_post_stab(params, p):
+        """Blocks for the position-projection solve (reference
+        ``PdipmEngine.post_stabilization``)."""
         dtype = p.dtype
         Mdiag = generalized_mass(params)
         Je = assemble_Je(static, p)
         err = constraint_position_error(static, p)
         zero_p = jnp.zeros((3 * N,), dtype)
         if C == 0:
-            dp = lcp_solve(Mdiag, zero_p, jnp.zeros((0, 3 * N), dtype),
-                           jnp.zeros((0,), dtype), Je, -err,
-                           max_iter=config.max_iter, tol=config.solver_eps)
-        else:
-            contacts = find_contacts(p, params.verts, params.radius,
-                                     counts, pairs, C)
-            Jc, _, _ = assemble_contact_jacobians(contacts, N, config.fric_dirs)
-            # push out: Jc dp >= depth  ->  -Jc dp <= -depth
-            h_ps = jnp.where(contacts.valid, -contacts.depth, 1.0)
-            dp = lcp_solve(Mdiag, zero_p, -Jc, h_ps, Je, -err,
-                           max_iter=config.max_iter, tol=config.solver_eps)
-        return p + dp.reshape(N, 3)
+            return dict(Q=Mdiag, p=zero_p, G=jnp.zeros((0, 3 * N), dtype),
+                        h=jnp.zeros((0,), dtype), A=Je, b=-err,
+                        F=jnp.zeros((0, 0), dtype))
+        contacts = find_contacts(p, params.verts, params.radius,
+                                 counts, pairs, C)
+        Jc, _, _ = assemble_contact_jacobians(contacts, N, fd)
+        # push out: Jc dp >= depth  ->  -Jc dp <= -depth
+        h_ps = jnp.where(contacts.valid, -contacts.depth, 1.0)
+        return dict(Q=Mdiag, p=zero_p, G=-Jc, h=h_ps, A=Je, b=-err,
+                    F=jnp.zeros((C, C), dtype))
+
+    return assemble, assemble_post_stab
+
+
+def _diagnostics(contacts, C, dtype):
+    if C == 0:
+        return StepDiagnostics(jnp.zeros(contacts.valid.shape[:-1],
+                                         jnp.int32),
+                               jnp.zeros(contacts.valid.shape[:-1], dtype))
+    return StepDiagnostics(
+        jnp.sum(contacts.valid, axis=-1).astype(jnp.int32),
+        jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0), axis=-1,
+                initial=0.0))
+
+
+def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
+    """Single-world jittable fixed-dt step:
+    ``step(params, state, dt) -> (state', StepDiagnostics)``."""
+    assemble, assemble_ps = make_assemble(static, config)
+    N = static.n_bodies
+    C = static.c_max
+    solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
+                     backend=config.lcp_backend)
 
     def step(params: SceneParams, state: WorldState, dt):
         dt = jnp.asarray(dt, state.p.dtype)
-        v_new, contacts = solve_velocities(params, state, dt)
+        blocks, contacts = assemble(params, state, dt)
+        v_new = lcp_solve(**blocks, **solver_kw).reshape(N, 3)
         p_new = state.p + dt * v_new  # semi-implicit Euler
         if config.post_stabilization:
-            p_new = post_stabilize(params, p_new)
+            ps = assemble_ps(params, p_new)
+            p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(N, 3)
         new_state = WorldState(p=p_new, v=v_new, t=state.t + dt)
-        if C == 0:
-            diag = StepDiagnostics(jnp.zeros((), jnp.int32),
-                                   jnp.zeros((), state.p.dtype))
-        else:
-            diag = StepDiagnostics(
-                jnp.sum(contacts.valid).astype(jnp.int32),
-                jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0),
-                        initial=0.0))
-        return new_state, diag
+        return new_state, _diagnostics(contacts, C, state.p.dtype)
 
     return step
+
+
+def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
+                      params_batched=False):
+    """Batch-native step over worlds: assembly/integration vmapped, ONE
+    batched LCP solve (Pallas lane-batched factorization on TPU):
+    ``step_b(params, states, dt) -> (states', StepDiagnostics)``."""
+    assemble, assemble_ps = make_assemble(static, config)
+    N = static.n_bodies
+    C = static.c_max
+    p_ax = 0 if params_batched else None
+    solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
+                     backend=config.lcp_backend)
+    assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, None))
+    assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
+
+    def step_b(params, states, dt):
+        B = states.p.shape[0]
+        dt = jnp.asarray(dt, states.p.dtype)
+        blocks, contacts = assemble_b(params, states, dt)
+        v_new = lcp_solve(**blocks, **solver_kw).reshape(B, N, 3)
+        p_new = states.p + dt * v_new
+        if config.post_stabilization:
+            ps = assemble_ps_b(params, p_new)
+            p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(B, N, 3)
+        new_states = WorldState(p=p_new, v=v_new, t=states.t + dt)
+        return new_states, _diagnostics(contacts, C, states.p.dtype)
+
+    return step_b
 
 
 def rollout(step, params, state, dt, n_steps, remat_segments=0):

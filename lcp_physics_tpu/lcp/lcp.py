@@ -20,17 +20,16 @@ Eliminating the s-block of the transposed Jacobian gives
     K(d)^T w = [g; 0; 0],   d_inv = s*/lam*,
 
 with K(d) the same reduced KKT matrix the last forward iteration used, and
-then
 
     dL/dQ = -(w_z z^T)                    dL/dp = -w_z
     dL/dG = -(w_l z^T + lam w_z^T)        dL/dh = +w_l
     dL/dA = -(w_n z^T + nu w_z^T)         dL/db = +w_n
     dL/dF = -(w_l lam^T)
 
-which is the same gradient family the reference computes with ``bger``
-batched outer products (the reference symmetrizes dQ because it treats Q as a
-symmetric parameter; we return the raw Jacobian of the KKT map, which agrees
-for symmetric perturbations) — validated by finite differences in
+the same batched-outer-product (``bger``) gradient family the reference
+computes (the reference symmetrizes dQ because it treats Q as a symmetric
+parameter; we return the raw Jacobian of the KKT map, which agrees for
+symmetric perturbations) — validated by finite differences in
 tests/test_lcp_grad.py.
 """
 from __future__ import annotations
@@ -39,112 +38,117 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
 
-from lcp_physics_tpu.lcp.pdipm import (
-    PdipmSolution, _assemble_kkt, _dtype_consts, pdipm_solve, solve_eq_kkt)
+from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _assemble_kkt,
+                                       _dtype_consts, _factor, _solve,
+                                       pdipm_solve, resolve_backend,
+                                       solve_eq_kkt)
+from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol):
-    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol)
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend):
+    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
+                      backend=backend)
     return sol.z
 
 
-def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol):
-    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol)
+def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend):
+    sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
+                      backend=backend)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F)
     return sol.z, residuals
 
 
-def _lcp_bwd(max_iter, tol, residuals, g):
+def _lcp_bwd(max_iter, tol, backend, residuals, g):
     z, s, lam, nu, Q, G, A, F = residuals
-    n, m = Q.shape[0], G.shape[0]
+    single = Q.ndim == 2
+    if single:
+        z, s, lam, nu, Q, G, A, F, g = jax.tree.map(
+            lambda x: x[None], (z, s, lam, nu, Q, G, A, F, g))
+    n, m = Q.shape[-1], G.shape[-2]
+    q = nu.shape[-1]
     dt = Q.dtype
     consts = _dtype_consts(dt)
+    backend = resolve_backend(backend, n + m + q)
 
     if m == 0:
-        # Pure equality KKT: differentiate [[Q, A^T], [A, 0]] solve directly.
-        wz, wn = solve_eq_kkt(Q, g, A, jnp.zeros_like(nu))
+        wz, wn = solve_eq_kkt(Q, g, A, jnp.zeros_like(nu), backend=backend)
         wz = -wz  # solve_eq_kkt solves with rhs [-p; b]; we want [g; 0]
         wn = -wn
-        dQ = -jnp.outer(wz, z)
-        dp = -wz
-        dA = -(jnp.outer(wn, z) + jnp.outer(nu, wz))
-        db = wn
-        zero_G = jnp.zeros_like(G)
-        return (dQ, dp, zero_G, jnp.zeros_like(s), dA, db, jnp.zeros_like(F))
-
-    lam_safe = jnp.maximum(lam, consts["tiny"])
-    d_inv = jnp.clip(s / lam_safe, consts["dinv_min"], consts["dinv_max"])
-    K = _assemble_kkt(Q, G, A, F, d_inv, consts["reg"])
-    rhs = jnp.concatenate([g, jnp.zeros((m,), dt), jnp.zeros_like(nu)])
-    lu = lu_factor(K)
-    w = lu_solve(lu, rhs, trans=1)  # solves K^T w = rhs
-    wz, wl, wn = w[:n], w[n:n + m], w[n + m:]
-
-    dQ = -jnp.outer(wz, z)
-    dp = -wz
-    dG = -(jnp.outer(wl, z) + jnp.outer(lam, wz))
-    dh = wl
-    dA = -(jnp.outer(wn, z) + jnp.outer(nu, wz))
-    db = wn
-    dF = -jnp.outer(wl, lam)
-    return (dQ, dp, dG, dh, dA, db, dF)
+        grads = (-bger(wz, z), -wz, jnp.zeros_like(G), jnp.zeros_like(s),
+                 -(bger(wn, z) + bger(nu, wz)), wn, jnp.zeros_like(F))
+    else:
+        lam_safe = jnp.maximum(lam, consts["tiny"])
+        d_inv = jnp.clip(s / lam_safe, consts["dinv_min"],
+                         consts["dinv_max"])
+        K = _assemble_kkt(Q, G, A, F, d_inv, consts["reg"])
+        rhs = jnp.concatenate(
+            [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
+        w = _solve(_factor(K, backend), rhs, backend, trans=1)
+        wz, wl, wn = w[..., :n], w[..., n:n + m], w[..., n + m:]
+        grads = (
+            -bger(wz, z),                  # dQ
+            -wz,                           # dp
+            -(bger(wl, z) + bger(lam, wz)),  # dG
+            wl,                            # dh
+            -(bger(wn, z) + bger(nu, wz)),   # dA
+            wn,                            # db
+            -bger(wl, lam),                # dF
+        )
+    if single:
+        grads = jax.tree.map(lambda x: x[0], grads)
+    return grads
 
 
 _lcp_solve_core.defvjp(_lcp_fwd, _lcp_bwd)
 
 
-def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
-              max_iter=20, tol=1e-7):
-    """Differentiable mixed-LCP solve; returns the primal solution ``z``.
-
-    Single-instance shapes (``vmap`` for batches): Q (n,n) or (n,) diagonal,
-    p (n,), G (m,n), h (m,), A (q,n), b (q,), F (m,m).  ``A``/``b`` default
-    to an empty equality block, ``F`` to zeros (plain QP — the qpth case).
-
-    Gradients flow to all seven inputs via the implicit KKT backward.
-    """
+def _normalize(Q, p, G, h, A, b, F):
     dt = jnp.result_type(Q, p)
     Q = jnp.asarray(Q, dt)
-    if Q.ndim == 1:
-        Q = jnp.diag(Q)
     p = jnp.asarray(p, dt)
     G = jnp.asarray(G, dt)
     h = jnp.asarray(h, dt)
-    n = Q.shape[0]
-    m = G.shape[0]
+    batched = p.ndim == 2
+    if Q.ndim == p.ndim:  # diagonal Q given as a vector
+        Q = Q[..., None] * jnp.eye(Q.shape[-1], dtype=dt)
+    n = Q.shape[-1]
+    m = G.shape[-2]
+    lead = (p.shape[0],) if batched else ()
     if A is None:
-        A = jnp.zeros((0, n), dt)
-        b = jnp.zeros((0,), dt)
+        A = jnp.zeros(lead + (0, n), dt)
+        b = jnp.zeros(lead + (0,), dt)
     else:
         A = jnp.asarray(A, dt)
         b = jnp.asarray(b, dt)
     if F is None:
-        F = jnp.zeros((m, m), dt)
+        F = jnp.zeros(lead + (m, m), dt)
     else:
         F = jnp.asarray(F, dt)
-    return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol)
+    return Q, p, G, h, A, b, F
+
+
+def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
+              max_iter=20, tol=1e-7, backend="auto"):
+    """Differentiable mixed-LCP solve; returns the primal solution ``z``.
+
+    Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
+    h (m,), A (q,n), b (q,), F (m,m)) or the same with a leading batch axis
+    on every argument.  ``A``/``b`` default to an empty equality block,
+    ``F`` to zeros (plain QP — the qpth case).
+
+    Gradients flow to all seven inputs via the implicit KKT backward.
+    """
+    Q, p, G, h, A, b, F = _normalize(Q, p, G, h, A, b, F)
+    return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
-                   max_iter=20, tol=1e-7) -> PdipmSolution:
+                   max_iter=20, tol=1e-7, backend="auto") -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
-    :class:`PdipmSolution` (slacks, multipliers, residuals, iteration count).
-    """
-    dt = jnp.result_type(Q, p)
-    Q = jnp.asarray(Q, dt)
-    if Q.ndim == 1:
-        Q = jnp.diag(Q)
-    n = Q.shape[0]
-    m = jnp.asarray(G).shape[0]
-    if A is None:
-        A = jnp.zeros((0, n), dt)
-        b = jnp.zeros((0,), dt)
-    if F is None:
-        F = jnp.zeros((m, m), dt)
-    return pdipm_solve(Q, jnp.asarray(p, dt), jnp.asarray(G, dt),
-                       jnp.asarray(h, dt), jnp.asarray(A, dt),
-                       jnp.asarray(b, dt), jnp.asarray(F, dt),
-                       max_iter=max_iter, tol=tol)
+    :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
+    counts)."""
+    Q, p, G, h, A, b, F = _normalize(Q, p, G, h, A, b, F)
+    return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
+                       backend=backend)

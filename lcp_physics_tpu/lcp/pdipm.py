@@ -1,40 +1,44 @@
 r"""Mehrotra predictor–corrector primal–dual interior-point solver for the
 mixed LCP / QP that underlies contact dynamics.
 
-Problem (single instance; batch via ``jax.vmap``):
+Problem (batched; leading batch axis B):
 
     minimize_z   1/2 z^T Q z + p^T z
-    subject to   G z + F lam + s = h,   s >= 0,  lam >= 0,  s \perp lam
+    subject to   G z + F lam + s = h,   s >= 0,  lam >= 0,  s ⊥ lam
                  A z = b
 
 With ``F = 0`` this is the standard inequality/equality QP (the reference's
 qpth lineage); a nonzero ``F`` couples the inequality slacks to their own
-multipliers, which is exactly the Stewart–Trinkle friction-cone structure the
-reference's LCP extension adds (reference: ``lcp_physics/lcp/solvers/batch.py``
-— ``forward``, ``pre_factor_kkt``, ``factor_kkt``, ``solve_kkt``; see
+multipliers — the Stewart–Trinkle friction-cone structure of the reference's
+LCP extension (reference: ``lcp_physics/lcp/solvers/batch.py`` —
+``forward``, ``pre_factor_kkt``, ``factor_kkt``, ``solve_kkt``;
 SURVEY.md §2.1).
 
 TPU-first design notes
 ----------------------
-* Fixed trip count: the IPM runs a static ``max_iter`` ``lax.fori_loop`` with
-  convergence masking (converged instances stop updating) instead of the
-  reference's Python early-exit — one traced path, XLA-friendly.
+* The solver is BATCH-NATIVE: every quantity carries a leading (B, ...)
+  axis and every reduction is per-instance.  This widens the reference's
+  nBatch seam into the primary TPU scaling axis: one solver call factors
+  thousands of tiny KKT systems as one fused program.
+* Fixed trip count ``lax.fori_loop`` with per-instance convergence masking
+  (converged instances freeze) — one traced path, XLA-friendly; no Python
+  early exit.
 * Each iteration assembles the reduced KKT matrix
 
-      K(d) = [[Q + r I,  G^T,              A^T     ],
-              [G,        F - diag(s/lam) - r I,  0 ],
-              [A,        0,               -r_eq I  ]]
+      K(d) = [[Q + r I,  G^T,                    A^T   ],
+              [G,        F - diag(s/lam) - r I,  0     ],
+              [A,        0,                      -r_eq I]]
 
-  and LU-factors it once, reusing the factorization for the affine
-  (predictor) and combined (corrector) solves.  Under ``vmap`` this becomes a
-  single batched LU across all worlds — the batch axis, not the tiny
-  per-world system, is what fills the TPU.
-* Where the reference pre-factors Q and maintains a Schur complement
-  (``pre_factor_kkt``/``factor_kkt``), we deliberately refactor the full
-  dense KKT: per-world systems are tiny (O(100) rows) and batched dense LU
-  maps better onto XLA than the reference's partial-refactor bookkeeping.
-  A diagonal-Q Schur fast path lives in :func:`pdipm_solve_schur` (the
-  physics engine's mass matrix is diagonal).
+  factors it once and reuses the factorization for the predictor and the
+  Mehrotra corrector solves.
+* The factorization backend is pluggable (``backend=``):
+  - 'xla':    batched ``lu_factor``/``lu_solve`` (row pivoting; the
+              reference semantics, works everywhere).
+  - 'pallas': fused pivotless-LU TPU kernel with the batch laid out on the
+              vector lanes (``lcp_physics_tpu.ops.linalg``) — the
+              factorization becomes ~n sequential VPU ops over 1024 worlds
+              at a time instead of XLA's serialized row operations.
+  - 'auto':   'pallas' on TPU, 'xla' elsewhere.
 """
 from __future__ import annotations
 
@@ -46,13 +50,13 @@ from jax.scipy.linalg import lu_factor, lu_solve
 
 
 class PdipmSolution(NamedTuple):
-    z: jax.Array      # primal solution (n,)
-    s: jax.Array      # inequality slacks (m,)
-    lam: jax.Array    # inequality multipliers (m,)
-    nu: jax.Array     # equality multipliers (q,)
-    mu: jax.Array     # final complementarity measure (scalar)
-    resid: jax.Array  # final max KKT residual (scalar)
-    iters: jax.Array  # iterations until convergence mask latched (scalar int)
+    z: jax.Array      # primal solution (B, n)
+    s: jax.Array      # inequality slacks (B, m)
+    lam: jax.Array    # inequality multipliers (B, m)
+    nu: jax.Array     # equality multipliers (B, q)
+    mu: jax.Array     # final complementarity measure (B,)
+    resid: jax.Array  # final max KKT residual (B,)
+    iters: jax.Array  # per-instance iterations to convergence (B,) int32
 
 
 def _dtype_consts(dtype):
@@ -61,104 +65,194 @@ def _dtype_consts(dtype):
     return dict(dinv_min=1e-6, dinv_max=1e6, reg=1e-7, tiny=1e-30)
 
 
+def resolve_backend(backend: str, nk: int = None) -> str:
+    """'auto' -> 'pallas' on TPU when the lane-batched kernels support the
+    system size, else 'xla'."""
+    if backend == "pallas" and nk is not None:
+        from lcp_physics_tpu.ops.linalg import pallas_supported
+
+        if not pallas_supported(nk):
+            return "xla"
+        return backend
+    if backend != "auto":
+        return backend
+    plat = jax.default_backend()
+    if plat not in ("tpu", "axon"):
+        return "xla"
+    if nk is not None:
+        from lcp_physics_tpu.ops.linalg import pallas_supported
+
+        if not pallas_supported(nk):
+            return "xla"
+    return "pallas"
+
+
+def _factor(K, backend):
+    if backend == "pallas":
+        from lcp_physics_tpu.ops.linalg import plu_factor
+
+        return plu_factor(K)
+    return lu_factor(K)
+
+
+def _solve(fac, rhs, backend, trans=0):
+    if backend == "pallas":
+        from lcp_physics_tpu.ops.linalg import plu_solve
+
+        return plu_solve(fac, rhs, trans=trans)
+    return lu_solve(fac, rhs, trans=trans)
+
+
 def _assemble_kkt(Q, G, A, F, d_inv, reg):
-    """Reduced (slack-eliminated) KKT matrix K(d).  Shapes: Q (n,n), G (m,n),
-    A (q,n), F (m,m), d_inv (m,) = s/lam."""
-    n, m, q = Q.shape[0], G.shape[0], A.shape[0]
+    """Reduced (slack-eliminated) KKT matrix K(d), batched.
+
+    Q (B,n,n), G (B,m,n), A (B,q,n), F (B,m,m), d_inv (B,m) = s/lam.
+    """
+    B, n = Q.shape[0], Q.shape[-1]
+    m, q = G.shape[-2], A.shape[-2]
     dt = Q.dtype
+    eye_n = jnp.eye(n, dtype=dt)
+    eye_m = jnp.eye(m, dtype=dt)
+    eye_q = jnp.eye(q, dtype=dt)
     top = jnp.concatenate(
-        [Q + reg * jnp.eye(n, dtype=dt), G.T, A.T], axis=1)
+        [Q + reg * eye_n, jnp.swapaxes(G, -1, -2),
+         jnp.swapaxes(A, -1, -2)], axis=-1)
     mid = jnp.concatenate(
-        [G, F - jnp.diag(d_inv) - reg * jnp.eye(m, dtype=dt),
-         jnp.zeros((m, q), dt)], axis=1)
+        [G, F - d_inv[..., None] * eye_m - reg * eye_m,
+         jnp.zeros((B, m, q), dt)], axis=-1)
     bot = jnp.concatenate(
-        [A, jnp.zeros((q, m), dt), -reg * jnp.eye(q, dtype=dt)], axis=1)
-    return jnp.concatenate([top, mid, bot], axis=0)
+        [A, jnp.zeros((B, q, m), dt),
+         jnp.broadcast_to(-reg * eye_q, (B, q, q))], axis=-1)
+    return jnp.concatenate([top, mid, bot], axis=-2)
 
 
 def _split(sol, n, m):
-    return sol[:n], sol[n:n + m], sol[n + m:]
+    return sol[..., :n], sol[..., n:n + m], sol[..., n + m:]
 
 
-def _max_step(v, dv, tiny):
-    """Largest alpha in (0, 1] with v + alpha*dv >= 0 (v > 0 elementwise)."""
+def _max_step(v, dv):
+    """Per-instance largest alpha in (0, 1] with v + alpha*dv >= 0."""
     ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-    return jnp.minimum(1.0, jnp.min(ratio, initial=jnp.inf) * (1.0 - tiny))
+    return jnp.minimum(1.0, jnp.min(ratio, axis=-1, initial=jnp.inf))
 
 
-def solve_eq_kkt(Q, p, A, b, reg=None):
+def _expand_batch(*arrays):
+    """Promote single-instance inputs to batch-of-1; report whether any
+    input was already batched."""
+    base_rank = (2, 1, 2, 1, 2, 1, 2)
+    batched = any(a.ndim == r + 1 for a, r in zip(arrays, base_rank))
+    out = []
+    B = max((a.shape[0] for a, r in zip(arrays, base_rank)
+             if a.ndim == r + 1), default=1)
+    for a, r in zip(arrays, base_rank):
+        if a.ndim == r:
+            a = jnp.broadcast_to(a[None], (B,) + a.shape)
+        out.append(a)
+    return batched, out
+
+
+def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
     """Equality-only KKT solve: [[Q, A^T], [A, 0]] [z; nu] = [-p; b].
 
     The reference's contact-free fast path (``PdipmEngine.solve_dynamics``
-    when ``world.collisions`` is empty) solves exactly this system.
+    with no collisions) solves exactly this system.  Single-instance or
+    batched.
     """
-    n, q = Q.shape[0], A.shape[0]
+    single = Q.ndim == 2
+    if single:
+        Q, p, A, b = Q[None], p[None], A[None], b[None]
+    B, n = Q.shape[0], Q.shape[-1]
+    q = A.shape[-2]
     dt = Q.dtype
     if reg is None:
         reg = _dtype_consts(dt)["reg"]
     K = jnp.concatenate([
-        jnp.concatenate([Q + reg * jnp.eye(n, dtype=dt), A.T], axis=1),
-        jnp.concatenate([A, -reg * jnp.eye(q, dtype=dt)], axis=1),
-    ], axis=0)
-    rhs = jnp.concatenate([-p, b])
-    sol = jnp.linalg.solve(K, rhs)
-    return sol[:n], sol[n:]
+        jnp.concatenate([Q + reg * jnp.eye(n, dtype=dt),
+                         jnp.swapaxes(A, -1, -2)], axis=-1),
+        jnp.concatenate([A, -reg * jnp.eye(q, dtype=dt)
+                         * jnp.ones((B, 1, 1), dt)], axis=-1),
+    ], axis=-2)
+    rhs = jnp.concatenate([-p, b], axis=-1)
+    backend = resolve_backend(backend, n + q)
+    sol = _solve(_factor(K, backend), rhs, backend)
+    z, nu = sol[..., :n], sol[..., n:]
+    if single:
+        z, nu = z[0], nu[0]
+    return z, nu
 
 
-def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7):
-    """Solve one mixed-LCP instance.  All inputs are single-instance arrays;
-    wrap in ``jax.vmap`` for the batched solver (the engine does).
+def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
+                backend="auto"):
+    """Solve a batch of mixed-LCP instances (single instances are
+    auto-promoted to a batch of one and squeezed back).
 
     Returns a :class:`PdipmSolution`.
     """
-    n = Q.shape[0]
-    m = G.shape[0]
-    q = A.shape[0]
+    single, (Q, p, G, h, A, b, F) = (lambda t: (not t[0], t[1]))(
+        _expand_batch(Q, p, G, h, A, b, F))
+    B, n = Q.shape[0], Q.shape[-1]
+    m = G.shape[-2]
+    q = A.shape[-2]
     dt = Q.dtype
     consts = _dtype_consts(dt)
     reg = consts["reg"]
+    backend = resolve_backend(backend, n + m + q)
+
+    def maybe_squeeze(sol):
+        if single:
+            sol = jax.tree.map(lambda x: x[0], sol)
+        return sol
 
     if m == 0:
-        z, nu = solve_eq_kkt(Q, p, A, b, reg)
-        zero_m = jnp.zeros((0,), dt)
-        return PdipmSolution(z, zero_m, zero_m, nu,
-                             jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
-                             jnp.asarray(0, jnp.int32))
+        z, nu = solve_eq_kkt(Q, p, A, b, reg, backend)
+        zero_m = jnp.zeros((B, 0), dt)
+        zero_b = jnp.zeros((B,), dt)
+        return maybe_squeeze(PdipmSolution(
+            z, zero_m, zero_m, nu, zero_b, zero_b,
+            jnp.zeros((B,), jnp.int32)))
 
     # ---- Initialization: one Newton step from the origin with d_inv = 1,
     # then shift (s, lam) into the strict interior (qpth-style start).
-    ones_m = jnp.ones((m,), dt)
+    ones_m = jnp.ones((B, m), dt)
     K0 = _assemble_kkt(Q, G, A, F, ones_m, reg)
-    rhs0 = jnp.concatenate([-p, h, b])
-    lu0 = lu_factor(K0)
-    sol0 = lu_solve(lu0, rhs0)
+    rhs0 = jnp.concatenate([-p, h, b], axis=-1)
+    sol0 = _solve(_factor(K0, backend), rhs0, backend)
     z, lam, nu = _split(sol0, n, m)
     s = -lam  # with d_inv = 1 and zero complementarity residual, ds = -dlam
-    s = s + jax.nn.relu(1.0 - jnp.min(s, initial=jnp.inf))
-    lam = lam + jax.nn.relu(1.0 - jnp.min(lam, initial=jnp.inf))
+    shift = jax.nn.relu(1.0 - jnp.min(s, axis=-1, initial=jnp.inf))
+    s = s + shift[..., None]
+    shift_l = jax.nn.relu(1.0 - jnp.min(lam, axis=-1, initial=jnp.inf))
+    lam = lam + shift_l[..., None]
 
     big = jnp.asarray(jnp.finfo(dt).max / 8, dt)
+    GT = jnp.swapaxes(G, -1, -2)
+    AT = jnp.swapaxes(A, -1, -2)
+
+    def bmv(M, x):
+        return jnp.einsum("bij,bj->bi", M, x)
 
     def kkt_residuals(z, s, lam, nu):
-        rx = Q @ z + p + G.T @ lam + A.T @ nu
-        rz = G @ z + F @ lam + s - h
-        ry = A @ z - b
+        rx = bmv(Q, z) + p + bmv(GT, lam) + bmv(AT, nu)
+        rz = bmv(G, z) + bmv(F, lam) + s - h
+        ry = bmv(A, z) - b
         return rx, rz, ry
+
+    def resid_norm(rx, rz, ry):
+        return jnp.maximum(
+            jnp.max(jnp.abs(rx), axis=-1, initial=0.0),
+            jnp.maximum(jnp.max(jnp.abs(rz), axis=-1, initial=0.0),
+                        jnp.max(jnp.abs(ry), axis=-1, initial=0.0)))
 
     def body(i, carry):
         z, s, lam, nu, best, best_merit, done, iters = carry
 
         rx, rz, ry = kkt_residuals(z, s, lam, nu)
-        mu = jnp.dot(s, lam) / m
-        resid = jnp.maximum(
-            jnp.max(jnp.abs(rx), initial=0.0),
-            jnp.maximum(jnp.max(jnp.abs(rz), initial=0.0),
-                        jnp.max(jnp.abs(ry), initial=0.0)))
-        merit = mu + resid
+        mu = jnp.sum(s * lam, axis=-1) / m
+        merit = mu + resid_norm(rx, rz, ry)
 
         improved = merit < best_merit
         best = jax.tree.map(
-            lambda new, old: jnp.where(improved, new, old),
+            lambda new, old: jnp.where(improved[..., None], new, old),
             (z, s, lam, nu), best)
         best_merit = jnp.minimum(merit, best_merit)
 
@@ -167,67 +261,60 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7):
 
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"], consts["dinv_max"])
-        K = _assemble_kkt(Q, G, A, F, d_inv, reg)
-        lu = lu_factor(K)
+        fac = _factor(_assemble_kkt(Q, G, A, F, d_inv, reg), backend)
 
         # Predictor (affine scaling) direction.
         r4 = s * lam
-        rhs_aff = jnp.concatenate([-rx, -rz + r4 / lam_safe, -ry])
-        dz_a, dlam_a, _dnu_a = _split(lu_solve(lu, rhs_aff), n, m)
+        rhs_aff = jnp.concatenate([-rx, -rz + r4 / lam_safe, -ry], axis=-1)
+        dz_a, dlam_a, _ = _split(_solve(fac, rhs_aff, backend), n, m)
         ds_a = -r4 / lam_safe - d_inv * dlam_a
 
-        alpha_a = jnp.minimum(_max_step(s, ds_a, 0.0),
-                              _max_step(lam, dlam_a, 0.0))
-        mu_aff = jnp.dot(s + alpha_a * ds_a, lam + alpha_a * dlam_a) / m
-        sigma = (jnp.clip(mu_aff / jnp.maximum(mu, consts["tiny"]), 0.0, 1.0)
-                 ) ** 3
+        alpha_a = jnp.minimum(_max_step(s, ds_a), _max_step(lam, dlam_a))
+        mu_aff = jnp.sum((s + alpha_a[..., None] * ds_a)
+                         * (lam + alpha_a[..., None] * dlam_a), axis=-1) / m
+        sigma = jnp.clip(mu_aff / jnp.maximum(mu, consts["tiny"]),
+                         0.0, 1.0) ** 3
 
         # Corrector (combined Mehrotra) direction, same factorization.
-        r4c = s * lam + ds_a * dlam_a - sigma * mu
-        rhs_c = jnp.concatenate([-rx, -rz + r4c / lam_safe, -ry])
-        dz, dlam, dnu = _split(lu_solve(lu, rhs_c), n, m)
+        r4c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
+        rhs_c = jnp.concatenate([-rx, -rz + r4c / lam_safe, -ry], axis=-1)
+        dz, dlam, dnu = _split(_solve(fac, rhs_c, backend), n, m)
         ds = -r4c / lam_safe - d_inv * dlam
 
-        alpha = 0.99 * jnp.minimum(_max_step(s, ds, 0.0),
-                                   _max_step(lam, dlam, 0.0))
+        alpha = (0.99 * jnp.minimum(_max_step(s, ds),
+                                    _max_step(lam, dlam)))[..., None]
 
         z_n = z + alpha * dz
         s_n = jnp.maximum(s + alpha * ds, consts["tiny"])
         lam_n = jnp.maximum(lam + alpha * dlam, consts["tiny"])
         nu_n = nu + alpha * dnu
 
-        # NaN/overflow guard: reject a diverged update, freeze the instance.
-        bad = ~jnp.isfinite(
-            jnp.abs(z_n).max() + jnp.abs(s_n).max() + jnp.abs(lam_n).max()
-            + (jnp.abs(nu_n).max() if q else jnp.asarray(0.0, dt)))
+        # Divergence guard: freeze any instance that went non-finite.
+        bad = ~(jnp.all(jnp.isfinite(z_n), axis=-1)
+                & jnp.all(jnp.isfinite(s_n), axis=-1)
+                & jnp.all(jnp.isfinite(lam_n), axis=-1)
+                & jnp.all(jnp.isfinite(nu_n), axis=-1))
         halt = new_done | bad
 
-        keep = lambda new, old: jnp.where(halt, old, new)
+        keep = lambda new, old: jnp.where(halt[..., None], old, new)
         z, s, lam, nu = (keep(z_n, z), keep(s_n, s),
                          keep(lam_n, lam), keep(nu_n, nu))
         return z, s, lam, nu, best, best_merit, halt | done, iters
 
-    init = (z, s, lam, nu, (z, s, lam, nu), big,
-            jnp.asarray(False), jnp.asarray(max_iter, jnp.int32))
+    init = (z, s, lam, nu, (z, s, lam, nu), jnp.full((B,), big, dt),
+            jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32))
     z, s, lam, nu, best, best_merit, done, iters = jax.lax.fori_loop(
         0, max_iter, body, init)
 
-    # Return the best iterate seen (covers non-monotone tails, mirroring the
-    # reference's notImprovedLim best-iterate fallback).
+    # Return the best iterate seen (covers non-monotone tails, mirroring
+    # the reference's notImprovedLim best-iterate fallback).
     rx, rz, ry = kkt_residuals(z, s, lam, nu)
-    mu = jnp.dot(s, lam) / m
-    resid = jnp.maximum(
-        jnp.max(jnp.abs(rx), initial=0.0),
-        jnp.maximum(jnp.max(jnp.abs(rz), initial=0.0),
-                    jnp.max(jnp.abs(ry), initial=0.0)))
-    final_merit = mu + resid
-    use_best = best_merit < final_merit
+    mu = jnp.sum(s * lam, axis=-1) / m
+    final_merit = mu + resid_norm(rx, rz, ry)
+    use_best = (best_merit < final_merit)[..., None]
     z, s, lam, nu = jax.tree.map(
         lambda b_, c: jnp.where(use_best, b_, c), best, (z, s, lam, nu))
-    mu = jnp.dot(s, lam) / m
+    mu = jnp.sum(s * lam, axis=-1) / m
     rx, rz, ry = kkt_residuals(z, s, lam, nu)
-    resid = jnp.maximum(
-        jnp.max(jnp.abs(rx), initial=0.0),
-        jnp.maximum(jnp.max(jnp.abs(rz), initial=0.0),
-                    jnp.max(jnp.abs(ry), initial=0.0)))
-    return PdipmSolution(z, s, lam, nu, mu, resid, iters)
+    return maybe_squeeze(PdipmSolution(
+        z, s, lam, nu, mu, resid_norm(rx, rz, ry), iters))

@@ -1,0 +1,217 @@
+"""Pallas TPU kernels: lane-batched dense factorization for tiny systems.
+
+The physics workload factors THOUSANDS of tiny KKT matrices (59-700 rows)
+per step.  XLA's batched LU serializes row operations and reaches <1% of
+the VPU; these kernels instead lay the WORLD-BATCH on the vector lanes —
+``K`` is stored ``(n, n, B)`` so every scalar operation of a classical
+factorization becomes an 8x128-wide vector op over 128 worlds at once, and
+a whole batch tile factors in ~n fused vector steps.
+
+Provided:
+  plu_factor(K)            (B, n, n) -> opaque factor (pivotless LU)
+  plu_solve(fac, r, trans) (B, n)    -> (B, n), optionally solving K^T x = r
+
+Pivotless Doolittle LU is numerically safe here because the interior-point
+KKT matrices are regularized quasi-definite (positive-definite Q block
+first, strictly negative lower block) — the class for which factorization
+without pivoting is provably stable (Vanderbei, "Symmetric quasi-definite
+matrices", 1995); tests/test_pallas_linalg.py compares against the pivoted
+XLA path on random KKT-shaped batches.
+
+On non-TPU backends the kernels run in Pallas interpret mode (slow but
+exact), so the 'pallas' solver backend stays testable on CPU.
+
+Reference parity note: this plays the role ATen's batched ``lu_factor`` /
+``lu_solve`` play for the reference's PDIPM (`lcp_physics/lcp/solvers/
+batch.py`), re-designed for the TPU memory/vector model (SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_B = 128      # worlds per grid cell (vector lanes)
+_SUBLANE = 8      # f32 sublane quantum
+# Lane-batching needs the whole (n, n, 128) tile resident in VMEM; the
+# Mosaic pipeline stages in+out double-buffered (4 tiles live), and VMEM is
+# 16 MB, so tiles must stay <= ~4 MB: n_pad <= 88.  Beyond that the XLA
+# path takes over (a blocked MXU kernel for large systems is future work).
+MAX_LANE_N = 88
+
+
+def pallas_supported(nk: int) -> bool:
+    """True if the lane-batched kernels can handle nk-row systems."""
+    return max(_ru(nk, _SUBLANE), _SUBLANE) <= MAX_LANE_N
+
+
+def _interpret():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _ru(x, m):
+    return (x + m - 1) // m * m
+
+
+def _safe_inv(d):
+    tiny = 1e-20
+    mag = jnp.abs(d)
+    safe = jnp.where(mag < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    return 1.0 / safe
+
+
+# ---------------------------------------------------------------------------
+# Factorization kernel: in-place Doolittle LU, batch on lanes.
+# ---------------------------------------------------------------------------
+
+def _lu_kernel(K_ref, out_ref):
+    n = out_ref.shape[0]
+    # aliased in-place on TPU (self-copy is a no-op); real copy in interpret
+    out_ref[:] = K_ref[:]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def body(k, _):
+        diag = out_ref[pl.ds(k, 1), pl.ds(k, 1), :]       # (1, 1, B)
+        col = out_ref[:, pl.ds(k, 1), :]                  # (n, 1, B)
+        row = out_ref[pl.ds(k, 1), :, :]                  # (1, n, B)
+        below = i_ids > k
+        lcol = jnp.where(below, col * _safe_inv(diag), 0.0)
+        rowm = jnp.where(j_ids > k, row, 0.0)
+        # One fused read-modify-write: trailing update everywhere except
+        # column k, which receives the scaled L factors below the diagonal.
+        out_ref[:] = jnp.where(below & (j_ids == k), lcol,
+                               out_ref[:] - lcol * rowm)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def plu_factor(K):
+    """Pivotless LU of a batch of small dense matrices K (B, n, n).
+
+    Returns an opaque factor consumed by :func:`plu_solve`.
+    """
+    B, n = K.shape[0], K.shape[-1]
+    assert K.shape[-1] == K.shape[-2]
+    assert pallas_supported(n), (
+        f"lane-batched LU supports n <= {MAX_LANE_N}, got {n}; "
+        "use the 'xla' backend for larger systems")
+    dt = K.dtype
+    n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
+    B_pad = _ru(max(B, 1), LANE_B)
+
+    Kp = jnp.zeros((B_pad, n_pad, n_pad), dt)
+    Kp = Kp.at[:B, :n, :n].set(K)
+    if n_pad > n:  # identity in the padded corner keeps the LU trivial there
+        idx = jnp.arange(n, n_pad)
+        Kp = Kp.at[:, idx, idx].set(1.0)
+    if B_pad > B:  # padded worlds factor the identity
+        idx = jnp.arange(n_pad)
+        Kp = Kp.at[B:, idx, idx].set(1.0)
+    Kt = jnp.transpose(Kp, (1, 2, 0))  # (n_pad, n_pad, B_pad)
+
+    lu_t = pl.pallas_call(
+        _lu_kernel,
+        grid=(B_pad // LANE_B,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, LANE_B),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, LANE_B), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, B_pad), dt),
+        input_output_aliases={0: 0},  # factor in place: one VMEM buffer
+        interpret=_interpret(),
+    )(Kt)
+    return lu_t, (B, n)
+
+
+# ---------------------------------------------------------------------------
+# Triangular-solve kernels (forward + backward substitution), batch on lanes.
+# ---------------------------------------------------------------------------
+
+def _solve_kernel(trans, LU_ref, r_ref, x_ref):
+    n = LU_ref.shape[0]
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # over rows of x
+
+    def dot_rows(vec_ref, k, mask):
+        """sum_j M[k-slice selected elsewhere] handled by caller; here:
+        masked reduction sum_j coef[j] * x[j] -> (1, B)."""
+        return jnp.sum(jnp.where(mask, vec_ref, 0.0) * x_ref[:],
+                       axis=0, keepdims=True)
+
+    if trans == 0:
+        # L y = r (unit diagonal), forward
+        def fwd(k, _):
+            row = LU_ref[pl.ds(k, 1), :, :]           # (1, n, B)
+            coefs = jnp.swapaxes(row, 0, 1)[:, 0, :]  # (n, B): L[k, j]
+            s = dot_rows(coefs, k, j_col < k)
+            x_ref[pl.ds(k, 1), :] = r_ref[pl.ds(k, 1), :] - s
+            return 0
+
+        # U x = y, backward (diagonal in U)
+        def bwd(k2, _):
+            k = n - 1 - k2
+            row = LU_ref[pl.ds(k, 1), :, :]
+            coefs = jnp.swapaxes(row, 0, 1)[:, 0, :]
+            diag = LU_ref[pl.ds(k, 1), pl.ds(k, 1), :][0]  # (1, B)
+            s = dot_rows(coefs, k, j_col > k)
+            x_ref[pl.ds(k, 1), :] = (x_ref[pl.ds(k, 1), :] - s) \
+                * _safe_inv(diag)
+            return 0
+
+        x_ref[:] = r_ref[:]
+        jax.lax.fori_loop(0, n, fwd, 0)
+        # fwd wrote y into x_ref; bwd solves in place
+        jax.lax.fori_loop(0, n, bwd, 0)
+    else:
+        # K^T x = r with K = L U:  U^T z = r (forward, diag), L^T x = z
+        # (backward, unit diag).  Both use COLUMNS of the stored factors.
+        def fwd_t(k, _):
+            colk = LU_ref[:, pl.ds(k, 1), :][:, 0, :]   # (n, B): K[j, k]
+            diag = LU_ref[pl.ds(k, 1), pl.ds(k, 1), :][0]
+            s = dot_rows(colk, k, j_col < k)
+            x_ref[pl.ds(k, 1), :] = (r_ref[pl.ds(k, 1), :] - s) \
+                * _safe_inv(diag)
+            return 0
+
+        def bwd_t(k2, _):
+            k = n - 1 - k2
+            colk = LU_ref[:, pl.ds(k, 1), :][:, 0, :]
+            s = dot_rows(colk, k, j_col > k)
+            x_ref[pl.ds(k, 1), :] = x_ref[pl.ds(k, 1), :] - s
+            return 0
+
+        x_ref[:] = r_ref[:]
+        jax.lax.fori_loop(0, n, fwd_t, 0)
+        jax.lax.fori_loop(0, n, bwd_t, 0)
+
+
+def plu_solve(fac, r, trans=0):
+    """Solve K x = r (or K^T x = r with trans=1) from a :func:`plu_factor`
+    result.  r: (B, n) -> (B, n)."""
+    lu_t, (B, n) = fac
+    n_pad, _, B_pad = lu_t.shape
+    dt = lu_t.dtype
+    rp = jnp.zeros((B_pad, n_pad), dt).at[:B, :n].set(r)
+    rt = rp.T  # (n_pad, B_pad)
+
+    x_t = pl.pallas_call(
+        partial(_solve_kernel, trans),
+        grid=(B_pad // LANE_B,),
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad, LANE_B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, LANE_B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, LANE_B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, B_pad), dt),
+        interpret=_interpret(),
+    )(lu_t, rt)
+    return x_t.T[:B, :n]

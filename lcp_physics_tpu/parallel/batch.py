@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lcp_physics_tpu.core.state import WorldState
-from lcp_physics_tpu.core.step import make_step
+from lcp_physics_tpu.core.step import make_step_batched
 from lcp_physics_tpu.utils import SimConfig
 
 WORLD_AXIS = "worlds"
@@ -65,10 +65,12 @@ def make_batched_step(static, config: SimConfig = SimConfig(),
     params_batched=False: one parameter set shared by all worlds (the
     gradient-inference setting).  True: per-world parameters (e.g. a batch
     of scenes with different masses).
+
+    Assembly and integration are vmapped; the KKT solves run through the
+    solver's NATIVE batch path (one fused factorization over all worlds —
+    Pallas lane-batched on TPU), not a vmap wrapper.
     """
-    step = make_step(static, config)
-    in_axes = (0 if params_batched else None, 0, None)
-    return jax.vmap(step, in_axes=in_axes)
+    return make_step_batched(static, config, params_batched)
 
 
 def make_sharded_step(static, mesh: Mesh, config: SimConfig = SimConfig(),

@@ -76,6 +76,9 @@ class SimConfig:
     # Block gradients through contact geometry (reference OdeContactHandler
     # semantics: contacts from the ODE C library carry no gradients).
     stop_contact_grad: bool = False
+    # KKT factorization backend: 'auto' (pallas on TPU, xla elsewhere),
+    # 'xla' (batched pivoted LU), or 'pallas' (lane-batched pivotless LU).
+    lcp_backend: str = "auto"
 
 
 def get_tensor(x, dtype=None):
