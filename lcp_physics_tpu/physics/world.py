@@ -263,6 +263,22 @@ class World:
         self.collisions = collisions
         return collisions
 
+    def broadphase_pairs(self):
+        """Host-side broadphase: overlapping-AABB body index pairs via the
+        native sweep-and-prune (the ODE hash-space role in the reference;
+        falls back to NumPy when no C++ toolchain is available)."""
+        import numpy as np
+
+        from lcp_physics_tpu import native
+        from lcp_physics_tpu.core.geometry import aabbs as device_aabbs
+
+        static, params, state = self.functional()
+        boxes = np.asarray(device_aabbs(
+            state.p, params.verts, params.radius,
+            jnp.asarray(static.counts_np())))
+        flat = np.concatenate([boxes[:, 0, :], boxes[:, 1, :]], axis=-1)
+        return native.sap_pairs(flat)
+
     def max_penetration(self):
         static, params, state = self.functional()
         cts = find_contacts(state.p, params.verts, params.radius,
