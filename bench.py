@@ -60,15 +60,17 @@ def time_chained(fn, *args, reps=10):
 
 
 def bench_lcp_solves(B=4096, n=24, m=32, q=3):
-    """Batched mixed-LCP solves of physics-representative size:
-    n=24 dofs (8 bodies), m=32 inequality rows (8 contacts x (2+fd)),
-    q=3 equality rows."""
+    """Batched mixed-LCP solves of physics-representative size and
+    structure: n=24 dofs (8 bodies), diagonal Q (mass matrix), m=32
+    inequality rows (8 contacts x (2+fd)), q=3 equality rows."""
     from lcp_physics_tpu.lcp import lcp_solve
 
     rng = np.random.default_rng(0)
     dt = jnp.float32
-    L = rng.standard_normal((B, n, n)).astype(np.float32)
-    Q = jnp.asarray(L @ L.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
+    # Physics-representative Q: the engine's generalized mass matrix is
+    # DIAGONAL (diag[I, m, m] per body), which activates the solver's
+    # Schur fast path exactly as world stepping does.
+    Q = jnp.asarray(rng.uniform(0.5, 4.0, (B, n)).astype(np.float32))
     p = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
     G = jnp.asarray(rng.standard_normal((B, m, n)).astype(np.float32))
     z0 = rng.standard_normal((B, n)).astype(np.float32)

@@ -39,28 +39,33 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _assemble_kkt,
-                                       _dtype_consts, _factor, _solve,
-                                       pdipm_solve, resolve_backend,
-                                       solve_eq_kkt)
+from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
+                                       make_kkt_factor, pdipm_solve,
+                                       resolve_backend, solve_eq_kkt)
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                      backend=backend)
+                      backend=backend,
+                      q_diag=_diag_of(Q) if diag_q else None)
     return sol.z
 
 
-def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend):
+def _diag_of(Q):
+    return jnp.diagonal(Q, axis1=-2, axis2=-1)
+
+
+def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                      backend=backend)
+                      backend=backend,
+                      q_diag=_diag_of(Q) if diag_q else None)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F)
     return sol.z, residuals
 
 
-def _lcp_bwd(max_iter, tol, backend, residuals, g):
+def _lcp_bwd(max_iter, tol, backend, diag_q, residuals, g):
     z, s, lam, nu, Q, G, A, F = residuals
     single = Q.ndim == 2
     if single:
@@ -82,10 +87,11 @@ def _lcp_bwd(max_iter, tol, backend, residuals, g):
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"],
                          consts["dinv_max"])
-        K = _assemble_kkt(Q, G, A, F, d_inv, consts["reg"])
+        kkt = make_kkt_factor(Q, _diag_of(Q) if diag_q else None, G, A, F,
+                              consts["reg"], backend)(d_inv)
         rhs = jnp.concatenate(
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
-        w = _solve(_factor(K, backend), rhs, backend, trans=1)
+        w = kkt(rhs, trans=1)
         wz, wl, wn = w[..., :n], w[..., n:n + m], w[..., n + m:]
         grads = (
             -bger(wz, z),                  # dQ
@@ -111,7 +117,8 @@ def _normalize(Q, p, G, h, A, b, F):
     G = jnp.asarray(G, dt)
     h = jnp.asarray(h, dt)
     batched = p.ndim == 2
-    if Q.ndim == p.ndim:  # diagonal Q given as a vector
+    diag_q = Q.ndim == p.ndim  # diagonal Q given as a vector
+    if diag_q:
         Q = Q[..., None] * jnp.eye(Q.shape[-1], dtype=dt)
     n = Q.shape[-1]
     m = G.shape[-2]
@@ -126,7 +133,7 @@ def _normalize(Q, p, G, h, A, b, F):
         F = jnp.zeros(lead + (m, m), dt)
     else:
         F = jnp.asarray(F, dt)
-    return Q, p, G, h, A, b, F
+    return diag_q, (Q, p, G, h, A, b, F)
 
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
@@ -138,10 +145,13 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     on every argument.  ``A``/``b`` default to an empty equality block,
     ``F`` to zeros (plain QP — the qpth case).
 
-    Gradients flow to all seven inputs via the implicit KKT backward.
+    Passing Q as a 1-D diagonal (the physics mass matrix) activates the
+    Schur fast path in the solver.  Gradients flow to all seven inputs via
+    the implicit KKT backward.
     """
-    Q, p, G, h, A, b, F = _normalize(Q, p, G, h, A, b, F)
-    return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend)
+    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
+    return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend,
+                           diag_q)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
@@ -149,6 +159,36 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
-    Q, p, G, h, A, b, F = _normalize(Q, p, G, h, A, b, F)
+    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                       backend=backend)
+                       backend=backend,
+                       q_diag=_diag_of(Q) if diag_q else None)
+
+
+class LCPFunction:
+    """API-parity shim for the reference's ``LCPFunction`` (an old-style
+    torch autograd Function instantiated per call: ``LCPFunction(eps,
+    verbose, notImprovedLim, maxIter)(Q, p, G, h, A, b, F)``).
+
+    In JAX the differentiable entry point is :func:`lcp_solve`; this class
+    maps the reference's constructor knobs onto it so reference user code
+    ports mechanically.  ``notImprovedLim`` has no direct analog (the
+    batched solver freezes converged/diverged instances and returns its
+    best iterate automatically) and is accepted for signature parity.
+    """
+
+    def __init__(self, eps=1e-7, verbose=0, notImprovedLim=3, maxIter=20,
+                 backend="auto"):
+        self.eps = eps
+        self.verbose = verbose
+        self.notImprovedLim = notImprovedLim
+        self.maxIter = maxIter
+        self.backend = backend
+        # populated after a call, mirroring the reference's saved state
+        self.zhats = None
+
+    def __call__(self, Q, p, G, h, A=None, b=None, F=None):
+        self.zhats = lcp_solve(Q, p, G, h, A, b, F,
+                               max_iter=self.maxIter, tol=self.eps,
+                               backend=self.backend)
+        return self.zhats

@@ -87,6 +87,67 @@ def resolve_backend(backend: str, nk: int = None) -> str:
     return "pallas"
 
 
+def make_kkt_factor(Q, q_diag, G, A, F, reg, backend):
+    """KKT solve operator factory.
+
+    Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
+    system K(d).  Two strategies:
+
+    * dense: assemble K(d) and LU it (pallas lane-batched when it fits,
+      else XLA) — the general-Q path.
+    * Schur (q_diag given): the physics mass matrix is DIAGONAL, so
+      P = Ghat Q^-1 Ghat^T is formed ONCE (one MXU matmul — the TPU
+      analog of the reference's ``pre_factor_kkt``), and each iteration
+      only factors the (m+q)-row Schur complement S(d) = B(d) - P:
+
+          K [z; w] = [r1; r2]   =>   S w = r2 - Ghat Q^-1 r1,
+                                     z = Q^-1 (r1 - Ghat^T w).
+
+      The transpose solve (implicit gradients) uses S^T with the same
+      factorization.  This shrinks the 3N+m+q dense factor to m+q rows
+      and routes mid-size systems back into the lane-batched kernel.
+    """
+    B, n = Q.shape[0], Q.shape[-1]
+    m, q = G.shape[-2], A.shape[-2]
+    dt = Q.dtype
+
+    if q_diag is None:
+        be = resolve_backend(backend, n + m + q)
+
+        def factor_dense(d_inv):
+            fac = _factor(_assemble_kkt(Q, G, A, F, d_inv, reg), be)
+            return lambda rhs, trans=0: _solve(fac, rhs, be, trans)
+
+        return factor_dense
+
+    mq = m + q
+    be = resolve_backend(backend, mq)
+    Ghat = jnp.concatenate([G, A], axis=-2)          # (B, mq, n)
+    qinv = 1.0 / q_diag                               # (B, n)
+    P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
+    eye_m = jnp.eye(m, dtype=dt)
+    eye_q = jnp.eye(q, dtype=dt)
+
+    def factor_schur(d_inv):
+        S = -P
+        S = S.at[:, :m, :m].add(F - d_inv[..., None] * eye_m
+                                - reg * eye_m)
+        if q:
+            S = S.at[:, m:, m:].add(-reg * eye_q)
+        fac = _factor(S, be)
+
+        def solve(rhs, trans=0):
+            r1, r2 = rhs[..., :n], rhs[..., n:]
+            t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
+            w = _solve(fac, t, be, trans)
+            z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
+            return jnp.concatenate([z, w], axis=-1)
+
+        return solve
+
+    return factor_schur
+
+
 def _factor(K, backend):
     if backend == "pallas":
         from lcp_physics_tpu.ops.linalg import plu_factor
@@ -182,9 +243,12 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
-                backend="auto"):
+                backend="auto", q_diag=None, verbose=False):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
+
+    ``q_diag`` (B, n): when Q is diagonal (the physics mass matrix), pass
+    its diagonal to enable the Schur fast path (see make_kkt_factor).
 
     Returns a :class:`PdipmSolution`.
     """
@@ -197,6 +261,8 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     consts = _dtype_consts(dt)
     reg = consts["reg"]
     backend = resolve_backend(backend, n + m + q)
+    if q_diag is not None and q_diag.ndim == 1:
+        q_diag = jnp.broadcast_to(q_diag[None], (B, n))
 
     def maybe_squeeze(sol):
         if single:
@@ -211,12 +277,13 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
             z, zero_m, zero_m, nu, zero_b, zero_b,
             jnp.zeros((B,), jnp.int32)))
 
+    kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend)
+
     # ---- Initialization: one Newton step from the origin with d_inv = 1,
     # then shift (s, lam) into the strict interior (qpth-style start).
     ones_m = jnp.ones((B, m), dt)
-    K0 = _assemble_kkt(Q, G, A, F, ones_m, reg)
     rhs0 = jnp.concatenate([-p, h, b], axis=-1)
-    sol0 = _solve(_factor(K0, backend), rhs0, backend)
+    sol0 = kkt_factor(ones_m)(rhs0)
     z, lam, nu = _split(sol0, n, m)
     s = -lam  # with d_inv = 1 and zero complementarity residual, ds = -dlam
     shift = jax.nn.relu(1.0 - jnp.min(s, axis=-1, initial=jnp.inf))
@@ -259,14 +326,20 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         new_done = done | (merit < tol)
         iters = jnp.where(new_done & ~done, i, iters)
 
+        if verbose:  # reference 'verbose' residual dump (SURVEY.md §5.1)
+            jax.debug.print(
+                "pdipm iter {i}: mu={mu:.3e} resid={r:.3e} done={d}/{B}",
+                i=i, mu=jnp.max(mu), r=jnp.max(resid_norm(rx, rz, ry)),
+                d=jnp.sum(new_done), B=new_done.shape[0])
+
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"], consts["dinv_max"])
-        fac = _factor(_assemble_kkt(Q, G, A, F, d_inv, reg), backend)
+        kkt_solve = kkt_factor(d_inv)
 
         # Predictor (affine scaling) direction.
         r4 = s * lam
         rhs_aff = jnp.concatenate([-rx, -rz + r4 / lam_safe, -ry], axis=-1)
-        dz_a, dlam_a, _ = _split(_solve(fac, rhs_aff, backend), n, m)
+        dz_a, dlam_a, _ = _split(kkt_solve(rhs_aff), n, m)
         ds_a = -r4 / lam_safe - d_inv * dlam_a
 
         alpha_a = jnp.minimum(_max_step(s, ds_a), _max_step(lam, dlam_a))
@@ -278,7 +351,7 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         # Corrector (combined Mehrotra) direction, same factorization.
         r4c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
         rhs_c = jnp.concatenate([-rx, -rz + r4c / lam_safe, -ry], axis=-1)
-        dz, dlam, dnu = _split(_solve(fac, rhs_c, backend), n, m)
+        dz, dlam, dnu = _split(kkt_solve(rhs_c), n, m)
         ds = -r4c / lam_safe - d_inv * dlam
 
         alpha = (0.99 * jnp.minimum(_max_step(s, ds),
@@ -301,10 +374,24 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                          keep(lam_n, lam), keep(nu_n, nu))
         return z, s, lam, nu, best, best_merit, halt | done, iters
 
-    init = (z, s, lam, nu, (z, s, lam, nu), jnp.full((B,), big, dt),
-            jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32))
-    z, s, lam, nu, best, best_merit, done, iters = jax.lax.fori_loop(
-        0, max_iter, body, init)
+    init = (jnp.asarray(0, jnp.int32),
+            (z, s, lam, nu, (z, s, lam, nu), jnp.full((B,), big, dt),
+             jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32)))
+
+    # Early exit once EVERY instance has converged/frozen: the custom_vjp
+    # wrapper differentiates via the implicit KKT system, never through
+    # this loop, so a while_loop costs nothing in reverse mode and saves
+    # the tail iterations (typical scenes converge in ~6-8 of max 15-20).
+    def cond(carry):
+        i, (_, _, _, _, _, _, done, _) = carry
+        return (i < max_iter) & ~jnp.all(done)
+
+    def wl_body(carry):
+        i, inner = carry
+        return i + 1, body(i, inner)
+
+    _, (z, s, lam, nu, best, best_merit, done, iters) = jax.lax.while_loop(
+        cond, wl_body, init)
 
     # Return the best iterate seen (covers non-monotone tails, mirroring
     # the reference's notImprovedLim best-iterate fallback).

@@ -29,3 +29,8 @@ __all__ = [
     "left_orthogonal", "plot", "polar_to_cart", "rotation_matrix", "World",
     "run_world",
 ]
+
+# Late-bind the reference's Defaults.ENGINE / Defaults.CONTACT knobs now
+# that the classes exist (they are None before this package imports).
+Defaults.ENGINE = PdipmEngine
+Defaults.CONTACT = DiffContactHandler

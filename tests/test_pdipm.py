@@ -138,3 +138,40 @@ def test_lcp_solve_full_diagnostics():
     assert float(sol.mu) < 1e-8
     assert float(sol.resid) < 1e-6
     assert int(sol.iters) < 25
+
+
+def test_diag_q_schur_path_matches_dense():
+    """Passing Q as a diagonal activates the Schur fast path; solutions and
+    gradients must match the dense-Q path."""
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    rng = np.random.default_rng(21)
+    n, m, q = 6, 5, 2
+    qd = jnp.asarray(rng.uniform(0.5, 3.0, n))
+    Q = jnp.diag(qd)
+    p = jnp.asarray(rng.standard_normal(n))
+    G = jnp.asarray(rng.standard_normal((m, n)))
+    z0 = rng.standard_normal(n)
+    h = jnp.asarray(G @ z0 + rng.uniform(0.5, 1.5, m))
+    A = jnp.asarray(rng.standard_normal((q, n)))
+    b = jnp.asarray(A @ z0)
+    S = rng.standard_normal((m, m))
+    F = jnp.asarray(S - S.T)
+
+    kw = dict(max_iter=30, tol=1e-11)
+    z_dense = lcp_solve(Q, p, G, h, A, b, F, **kw)
+    z_schur = lcp_solve(qd, p, G, h, A, b, F, **kw)
+    np.testing.assert_allclose(z_schur, z_dense, atol=1e-7)
+
+    g_dense = jax.grad(lambda p: lcp_solve(Q, p, G, h, A, b, F, **kw).sum())(p)
+    g_schur = jax.grad(lambda p: lcp_solve(qd, p, G, h, A, b, F, **kw).sum())(p)
+    np.testing.assert_allclose(g_schur, g_dense, atol=1e-7)
+
+    # batched diagonal Q too
+    B = 3
+    qd_b = jnp.stack([qd * (1 + 0.1 * k) for k in range(B)])
+    zb = lcp_solve(qd_b, jnp.stack([p] * B), jnp.stack([G] * B),
+                   jnp.stack([h] * B), jnp.stack([A] * B),
+                   jnp.stack([b] * B), jnp.stack([F] * B), **kw)
+    z0_single = lcp_solve(qd_b[0], p, G, h, A, b, F, **kw)
+    np.testing.assert_allclose(zb[0], z0_single, atol=1e-9)
