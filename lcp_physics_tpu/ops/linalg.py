@@ -39,14 +39,17 @@ LANE_B = 128      # worlds per grid cell (vector lanes)
 _SUBLANE = 8      # f32 sublane quantum
 # Lane-batching needs the whole (n, n, 128) tile resident in VMEM; the
 # Mosaic pipeline stages in+out double-buffered (4 tiles live), and VMEM is
-# 16 MB, so tiles must stay <= ~4 MB: n_pad <= 88.  Beyond that the XLA
-# path takes over (a blocked MXU kernel for large systems is future work).
+# 16 MB, so tiles must stay <= ~4 MB: n_pad <= 88.  Larger systems use the
+# per-world BLOCKED kernel (panel factorization + MXU trailing updates) up
+# to MAX_BLOCKED_N; only beyond that does the XLA path take over.
 MAX_LANE_N = 88
+PANEL = 128
+MAX_BLOCKED_N = 896
 
 
 def pallas_supported(nk: int) -> bool:
-    """True if the lane-batched kernels can handle nk-row systems."""
-    return max(_ru(nk, _SUBLANE), _SUBLANE) <= MAX_LANE_N
+    """True if a Pallas factorization kernel can handle nk-row systems."""
+    return nk <= MAX_BLOCKED_N
 
 
 def _interpret():
@@ -91,16 +94,128 @@ def _lu_kernel(K_ref, out_ref):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def plu_factor(K):
-    """Pivotless LU of a batch of small dense matrices K (B, n, n).
+# ---------------------------------------------------------------------------
+# Blocked per-world kernel for large systems: right-looking panel LU with
+# MXU trailing updates.  One world per grid cell; the panel phases are
+# sequential VPU work but all the O(n^3) flops live in 128-wide GEMMs.
+# ---------------------------------------------------------------------------
 
-    Returns an opaque factor consumed by :func:`plu_solve`.
+def _blocked_lu_kernel(K_ref, out_ref, linv_ref):
+    n = out_ref.shape[-1]
+    out_ref[...] = K_ref[...]
+    T = n // PANEL
+    j_panel = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL), 1)
+
+    for t in range(T):  # static unroll: all slices below are static in t
+        o = t * PANEL
+        W = n - o
+        i_sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+
+        # Mosaic restriction: no unaligned dynamic loads/stores in VMEM, so
+        # pivot rows/columns are extracted with masked reductions and all
+        # writes are full aligned tiles.
+
+        # 1) Panel factorization (rank-1 updates restricted to the panel).
+        def pk(k, _):
+            panel = out_ref[0, o:, o:o + PANEL]             # (W, PANEL)
+            sel_j = (j_panel == k).astype(panel.dtype)       # (1, PANEL)
+            sel_i = (i_sub == k).astype(panel.dtype)         # (W, 1)
+            col = jnp.sum(panel * sel_j, axis=1, keepdims=True)  # (W, 1)
+            row = jnp.sum(panel * sel_i, axis=0, keepdims=True)  # (1, PANEL)
+            d = jnp.sum(row * sel_j, axis=1, keepdims=True)  # (1, 1)
+            lcol = jnp.where(i_sub > k, col * _safe_inv(d), 0.0)
+            rowm = jnp.where(j_panel > k, row, 0.0)
+            out_ref[0, o:, o:o + PANEL] = jnp.where(
+                (j_panel == k) & (i_sub > k), lcol, panel - lcol * rowm)
+            return 0
+
+        jax.lax.fori_loop(0, PANEL, pk, 0)
+
+        if o + PANEL >= n:
+            break
+
+        # 2) Invert the unit-lower diagonal block by substitution.
+        linv_ref[...] = jnp.eye(PANEL, dtype=out_ref.dtype)
+        dblk = out_ref[0, o:o + PANEL, o:o + PANEL]          # (PANEL, PANEL)
+        i_blk = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
+
+        def ik(i, _):
+            sel_i = (i_blk == i).astype(dblk.dtype)          # (PANEL, 1)
+            lrow = jnp.sum(dblk * sel_i, axis=0, keepdims=True)  # (1, PANEL)
+            lrow = jnp.where(j_panel < i, lrow, 0.0)
+            s = jnp.dot(lrow, linv_ref[...],
+                        preferred_element_type=jnp.float32)  # (1, PANEL)
+            linv_ref[...] = jnp.where(i_blk == i, linv_ref[...] - s,
+                                      linv_ref[...])
+            return 0
+
+        jax.lax.fori_loop(0, PANEL, ik, 0)
+
+        # 3) U row block + MXU trailing update.
+        ublk = jnp.dot(linv_ref[...], out_ref[0, o:o + PANEL, o + PANEL:],
+                       preferred_element_type=jnp.float32)
+        out_ref[0, o:o + PANEL, o + PANEL:] = ublk
+        lblk = out_ref[0, o + PANEL:, o:o + PANEL]
+        out_ref[0, o + PANEL:, o + PANEL:] = (
+            out_ref[0, o + PANEL:, o + PANEL:]
+            - jnp.dot(lblk, ublk, preferred_element_type=jnp.float32))
+
+
+def _blocked_lu(K):
+    """Blocked pivotless LU: K (B, n, n) -> combined LU (B, n_pad, n_pad)."""
+    B, n = K.shape[0], K.shape[-1]
+    dt = K.dtype
+    n_pad = _ru(n, PANEL)
+    Kp = jnp.zeros((B, n_pad, n_pad), dt)
+    Kp = Kp.at[:, :n, :n].set(K)
+    if n_pad > n:
+        idx = jnp.arange(n, n_pad)
+        Kp = Kp.at[:, idx, idx].set(1.0)
+
+    lu = pl.pallas_call(
+        _blocked_lu_kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), dt),
+        scratch_shapes=[pltpu.VMEM((PANEL, PANEL), dt)],
+        input_output_aliases={0: 0},
+        interpret=_interpret(),
+    )(Kp)
+    return lu
+
+
+def _blocked_solve(lu, r, n, trans=0):
+    """Two batched triangular solves on the combined blocked-LU factors."""
+    B, n_pad = lu.shape[0], lu.shape[-1]
+    rp = jnp.zeros((B, n_pad), lu.dtype).at[:, :n].set(r)[..., None]
+    tri = jax.lax.linalg.triangular_solve
+    if trans == 0:
+        y = tri(lu, rp, left_side=True, lower=True, unit_diagonal=True)
+        x = tri(lu, y, left_side=True, lower=False)
+    else:
+        # K^T x = r with K = L U:  U^T z = r, then L^T x = z.
+        z = tri(lu, rp, left_side=True, lower=False, transpose_a=True)
+        x = tri(lu, z, left_side=True, lower=True, unit_diagonal=True,
+                transpose_a=True)
+    return x[..., 0][:, :n]
+
+
+def plu_factor(K):
+    """Pivotless LU of a batch of small/medium dense matrices K (B, n, n).
+
+    Dispatches on size: lane-batched kernel (n <= 88), blocked per-world
+    MXU kernel (n <= 896).  Returns an opaque factor for :func:`plu_solve`.
     """
     B, n = K.shape[0], K.shape[-1]
     assert K.shape[-1] == K.shape[-2]
     assert pallas_supported(n), (
-        f"lane-batched LU supports n <= {MAX_LANE_N}, got {n}; "
+        f"pallas LU supports n <= {MAX_BLOCKED_N}, got {n}; "
         "use the 'xla' backend for larger systems")
+    if max(_ru(n, _SUBLANE), _SUBLANE) > MAX_LANE_N:
+        return ("blocked", _blocked_lu(K), (B, n))
     dt = K.dtype
     n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
     B_pad = _ru(max(B, 1), LANE_B)
@@ -127,7 +242,7 @@ def plu_factor(K):
         input_output_aliases={0: 0},  # factor in place: one VMEM buffer
         interpret=_interpret(),
     )(Kt)
-    return lu_t, (B, n)
+    return ("lane", lu_t, (B, n))
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +309,10 @@ def _solve_kernel(trans, LU_ref, r_ref, x_ref):
 def plu_solve(fac, r, trans=0):
     """Solve K x = r (or K^T x = r with trans=1) from a :func:`plu_factor`
     result.  r: (B, n) -> (B, n)."""
-    lu_t, (B, n) = fac
+    if fac[0] == "blocked":
+        _, lu, (B, n) = fac
+        return _blocked_solve(lu, r, n, trans)
+    _, lu_t, (B, n) = fac
     n_pad, _, B_pad = lu_t.shape
     dt = lu_t.dtype
     rp = jnp.zeros((B_pad, n_pad), dt).at[:B, :n].set(r)

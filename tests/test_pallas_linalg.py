@@ -68,3 +68,21 @@ def test_plu_in_pdipm_backend():
                            backend="pallas")
     np.testing.assert_allclose(np.asarray(sol_p.z), np.asarray(sol_x.z),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_blocked_lu_matches_dense():
+    """Large systems route to the blocked per-world kernel."""
+    rng = np.random.default_rng(3)
+    B, n, m = 2, 80, 60  # nk = 140 > MAX_LANE_N -> blocked path
+    K = kkt_like_batch(B, n, m, rng)
+    r = jnp.asarray(rng.standard_normal((B, n + m)).astype(np.float32))
+    fac = plu_factor(K)
+    assert fac[0] == "blocked"
+    x = plu_solve(fac, r)
+    x_ref = jnp.linalg.solve(K, r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=5e-3, atol=5e-3)
+    xt = plu_solve(fac, r, trans=1)
+    xt_ref = jnp.linalg.solve(jnp.swapaxes(K, -1, -2), r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_ref),
+                               rtol=5e-3, atol=5e-3)
