@@ -169,12 +169,57 @@ def bench_fwd_bwd(B=64, n_steps=20):
     return sec
 
 
+def bench_scale_up(B=2048, n_steps=8):
+    """BASELINE stretch config: thousands of vmapped 64-body worlds in one
+    fused program (bounded by HBM: the Schur precompute is ~B x 0.25 MB +
+    K systems ~B x 1 MB, so 2048 worlds ~ 2.5 GB resident)."""
+    from lcp_physics_tpu.core import (WorldState, default_params,
+                                      make_scene_static)
+    from lcp_physics_tpu.parallel import make_batched_step, tile_state
+    from lcp_physics_tpu.utils import SimConfig
+
+    N = 64
+    rng = np.random.default_rng(2)
+    static = make_scene_static([1] * N, c_max=128)
+    params = default_params(
+        static, verts=np.zeros((N, 1, 2), np.float32),
+        radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
+        restitution=0.4, dtype=jnp.float32)
+    gx, gy = np.meshgrid(np.arange(8), np.arange(8))
+    pos = np.stack([gx.ravel() * 2.6, gy.ravel() * 2.6], -1)
+    pos = pos + rng.uniform(-0.25, 0.25, pos.shape)
+    p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
+    state = WorldState(p=jnp.asarray(p), v=jnp.zeros((N, 3), jnp.float32),
+                       t=jnp.zeros((), jnp.float32))
+    states = tile_state(state, B)
+    bstep = make_batched_step(static, SimConfig(max_iter=12,
+                                                solver_eps=1e-5))
+
+    @jax.jit
+    def run(params, states):
+        def body(s, _):
+            s2, _ = bstep(params, s, 0.01)
+            return s2, ()
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return out
+
+    sec = time_fn(run, params, states, iters=2)
+    rate = B * n_steps / sec
+    log(f"[bench] SCALE-UP: {B} worlds x 64 bodies x {n_steps} steps: "
+        f"{sec:.2f} s -> {rate:,.0f} world-steps/sec")
+    return rate
+
+
 def main():
+    import sys as _sys
+
     log(f"[bench] devices: {jax.devices()}")
     rate = bench_lcp_solves()
     try:
         bench_world_steps()
         bench_fwd_bwd()
+        if "--scale" in _sys.argv:
+            bench_scale_up()
     except Exception as e:  # secondary metrics must not kill the primary
         log(f"[bench] secondary benches failed: {e!r}")
     print(json.dumps({

@@ -5,11 +5,12 @@ from lcp_physics_tpu.lcp.lcp import (LCPFunction, lcp_solve,
                                      lcp_solve_full)
 from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, pdipm_solve,
                                        solve_eq_kkt)
-from lcp_physics_tpu.lcp.util import (batch, bger, expand_param,
-                                      extract_batch_size, get_sizes)
+from lcp_physics_tpu.lcp.util import (batch, bger, expandParam,
+                                      expand_param, extract_batch_size,
+                                      extract_nBatch, get_sizes)
 
 __all__ = [
     "LCPFunction", "lcp_solve", "lcp_solve_full", "pdipm_solve", "PdipmSolution",
-    "solve_eq_kkt", "batch", "bger", "expand_param", "extract_batch_size",
-    "get_sizes",
+    "solve_eq_kkt", "batch", "bger", "expandParam", "expand_param",
+    "extract_batch_size", "extract_nBatch", "get_sizes",
 ]

@@ -72,3 +72,8 @@ def batch(fn):
         return jax.vmap(lambda *xs: fn(*xs, **kw))(Q, p, G, h, A, b, F)
 
     return wrapped
+
+
+# Reference-spelling aliases (lcp_physics/lcp/util.py).
+expandParam = expand_param
+extract_nBatch = extract_batch_size

@@ -71,27 +71,38 @@ def _safe_inv(d):
 # Factorization kernel: in-place Doolittle LU, batch on lanes.
 # ---------------------------------------------------------------------------
 
+_LANE_CHUNK = 128
+
+
 def _lu_kernel(K_ref, out_ref):
     n = out_ref.shape[0]
     # aliased in-place on TPU (self-copy is a no-op); real copy in interpret
     out_ref[:] = K_ref[:]
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
 
-    def body(k, _):
-        diag = out_ref[pl.ds(k, 1), pl.ds(k, 1), :]       # (1, 1, B)
-        col = out_ref[:, pl.ds(k, 1), :]                  # (n, 1, B)
-        row = out_ref[pl.ds(k, 1), :, :]                  # (1, n, B)
-        below = i_ids > k
-        lcol = jnp.where(below, col * _safe_inv(diag), 0.0)
-        rowm = jnp.where(j_ids > k, row, 0.0)
-        # One fused read-modify-write: trailing update everywhere except
-        # column k, which receives the scaled L factors below the diagonal.
-        out_ref[:] = jnp.where(below & (j_ids == k), lcol,
-                               out_ref[:] - lcol * rowm)
-        return 0
+    # Elimination steps are grouped into static chunks so each step's fused
+    # read-modify-write touches only the not-yet-finalized trailing block
+    # out[o:, o:, :] (statically shrinking) instead of the whole matrix —
+    # ~2.5x less VMEM traffic than a full-matrix update per step.
+    for o in range(0, n, _LANE_CHUNK):
+        W = n - o
+        i_ids = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        steps = min(_LANE_CHUNK, W)
 
-    jax.lax.fori_loop(0, n, body, 0)
+        def body(k, _):
+            # k is the local pivot index within the trailing block.
+            diag = out_ref[pl.ds(o + k, 1), pl.ds(o + k, 1), :]  # (1,1,B)
+            col = out_ref[o:, pl.ds(o + k, 1), :]                # (W,1,B)
+            row = out_ref[pl.ds(o + k, 1), o:, :]                # (1,W,B)
+            below = i_ids > k
+            lcol = jnp.where(below, col * _safe_inv(diag), 0.0)
+            rowm = jnp.where(j_ids > k, row, 0.0)
+            blk = out_ref[o:, o:, :]
+            out_ref[o:, o:, :] = jnp.where(below & (j_ids == k), lcol,
+                                           blk - lcol * rowm)
+            return 0
+
+        jax.lax.fori_loop(0, steps, body, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,13 @@ class Body:
 
     # -- reference-parity accessors/mutators -----------------------------
     @property
+    def geom(self):
+        """Lightweight geometry descriptor (the reference exposes the ODE
+        geom object here; we return a dict with the same information)."""
+        return {"kind": self.kind, "verts": self.local_vertices(),
+                "radius": getattr(self, "rad", 0.0)}
+
+    @property
     def eps(self):
         return self.restitution
 
