@@ -165,11 +165,14 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
     C = static.c_max
     solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
                      backend=config.lcp_backend)
+    # trailing C inequality rows are the friction-cone slack block
+    # (zero G rows, diagonal Schur block) -> analytic elimination
+    dyn_kw = dict(solver_kw, gamma_rows=C)
 
     def step(params: SceneParams, state: WorldState, dt):
         dt = jnp.asarray(dt, state.p.dtype)
         blocks, contacts = assemble(params, state, dt)
-        v_new = lcp_solve(**blocks, **solver_kw).reshape(N, 3)
+        v_new = lcp_solve(**blocks, **dyn_kw).reshape(N, 3)
         p_new = state.p + dt * v_new  # semi-implicit Euler
         if config.post_stabilization:
             ps = assemble_ps(params, p_new)
@@ -193,12 +196,13 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                      backend=config.lcp_backend)
     assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, None))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
+    dyn_kw = dict(solver_kw, gamma_rows=C)
 
     def step_b(params, states, dt):
         B = states.p.shape[0]
         dt = jnp.asarray(dt, states.p.dtype)
         blocks, contacts = assemble_b(params, states, dt)
-        v_new = lcp_solve(**blocks, **solver_kw).reshape(B, N, 3)
+        v_new = lcp_solve(**blocks, **dyn_kw).reshape(B, N, 3)
         p_new = states.p + dt * v_new
         if config.post_stabilization:
             ps = assemble_ps_b(params, p_new)

@@ -45,11 +45,13 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
+                    gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend,
-                      q_diag=_diag_of(Q) if diag_q else None)
+                      q_diag=_diag_of(Q) if diag_q else None,
+                      gamma_rows=gamma_rows)
     return sol.z
 
 
@@ -57,15 +59,17 @@ def _diag_of(Q):
     return jnp.diagonal(Q, axis1=-2, axis2=-1)
 
 
-def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q):
+def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
+             gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend,
-                      q_diag=_diag_of(Q) if diag_q else None)
+                      q_diag=_diag_of(Q) if diag_q else None,
+                      gamma_rows=gamma_rows)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F)
     return sol.z, residuals
 
 
-def _lcp_bwd(max_iter, tol, backend, diag_q, residuals, g):
+def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
     z, s, lam, nu, Q, G, A, F = residuals
     single = Q.ndim == 2
     if single:
@@ -88,7 +92,8 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, residuals, g):
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"],
                          consts["dinv_max"])
         kkt = make_kkt_factor(Q, _diag_of(Q) if diag_q else None, G, A, F,
-                              consts["reg"], backend)(d_inv)
+                              consts["reg"], backend,
+                              gamma_rows if diag_q else 0)(d_inv)
         rhs = jnp.concatenate(
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
         w = kkt(rhs, trans=1)
@@ -137,7 +142,7 @@ def _normalize(Q, p, G, h, A, b, F):
 
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
-              max_iter=20, tol=1e-7, backend="auto"):
+              max_iter=20, tol=1e-7, backend="auto", gamma_rows=0):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -151,18 +156,20 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     """
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
     return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend,
-                           diag_q)
+                           diag_q, gamma_rows)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
-                   max_iter=20, tol=1e-7, backend="auto") -> PdipmSolution:
+                   max_iter=20, tol=1e-7, backend="auto",
+                   gamma_rows=0) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                        backend=backend,
-                       q_diag=_diag_of(Q) if diag_q else None)
+                       q_diag=_diag_of(Q) if diag_q else None,
+                       gamma_rows=gamma_rows)
 
 
 class LCPFunction:

@@ -87,7 +87,7 @@ def resolve_backend(backend: str, nk: int = None) -> str:
     return "pallas"
 
 
-def make_kkt_factor(Q, q_diag, G, A, F, reg, backend):
+def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
     """KKT solve operator factory.
 
     Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
@@ -121,31 +121,86 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend):
         return factor_dense
 
     mq = m + q
-    be = resolve_backend(backend, mq)
-    Ghat = jnp.concatenate([G, A], axis=-2)          # (B, mq, n)
     qinv = 1.0 / q_diag                               # (B, n)
-    P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
-    eye_m = jnp.eye(m, dtype=dt)
     eye_q = jnp.eye(q, dtype=dt)
 
-    def factor_schur(d_inv):
+    if gamma_rows == 0 or gamma_rows > m:
+        be = resolve_backend(backend, mq)
+        Ghat = jnp.concatenate([G, A], axis=-2)      # (B, mq, n)
+        P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
+        eye_m = jnp.eye(m, dtype=dt)
+
+        def factor_schur(d_inv):
+            S = -P
+            S = S.at[:, :m, :m].add(F - d_inv[..., None] * eye_m
+                                    - reg * eye_m)
+            if q:
+                S = S.at[:, m:, m:].add(-reg * eye_q)
+            fac = _factor(S, be)
+
+            def solve(rhs, trans=0):
+                r1, r2 = rhs[..., :n], rhs[..., n:]
+                t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
+                w = _solve(fac, t, be, trans)
+                z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
+                return jnp.concatenate([z, w], axis=-1)
+
+            return solve
+
+        return factor_schur
+
+    # ---- gamma elimination (second-level Schur) -------------------------
+    # The engine's friction-cone slack rows (the trailing `gamma_rows` of
+    # the inequality block) have ZERO G rows and ZERO F diagonal block, so
+    # their Schur-complement block S_gg = -(d_inv_g + reg) is DIAGONAL and
+    # can be eliminated analytically, shrinking the factored system from
+    # m+q to (m - gamma) + q rows (e.g. 512 -> 384 on a 64-body world).
+    g_ = gamma_rows
+    mg = m - g_                                      # kept inequality rows
+    K = mg + q
+    be = resolve_backend(backend, K)
+    Ghat_k = jnp.concatenate([G[:, :mg, :], A], axis=-2)  # (B, K, n)
+    P = jnp.einsum("bmn,bn,bkn->bmk", Ghat_k, qinv, Ghat_k)
+    eye_mg = jnp.eye(mg, dtype=dt)
+    zeros_qg = jnp.zeros((B, q, g_), dt)
+    Skg = jnp.concatenate([F[:, :mg, mg:m], zeros_qg], axis=-2)  # (B,K,g)
+    Sgk = jnp.concatenate([F[:, mg:m, :mg],
+                           jnp.swapaxes(zeros_qg, -1, -2)], axis=-1)
+
+    def factor_schur_gamma(d_inv):
+        Dg = d_inv[..., mg:] + reg                   # -S_gg diagonal
+        Dginv = 1.0 / Dg
         S = -P
-        S = S.at[:, :m, :m].add(F - d_inv[..., None] * eye_m
-                                - reg * eye_m)
+        S = S.at[:, :mg, :mg].add(F[:, :mg, :mg]
+                                  - d_inv[..., :mg, None] * eye_mg
+                                  - reg * eye_mg)
         if q:
-            S = S.at[:, m:, m:].add(-reg * eye_q)
-        fac = _factor(S, be)
+            S = S.at[:, mg:, mg:].add(-reg * eye_q)
+        S_red = S + jnp.einsum("bkg,bg,bgj->bkj", Skg, Dginv, Sgk)
+        fac = _factor(S_red, be)
 
         def solve(rhs, trans=0):
             r1, r2 = rhs[..., :n], rhs[..., n:]
-            t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
-            w = _solve(fac, t, be, trans)
-            z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
-            return jnp.concatenate([z, w], axis=-1)
+            rk = jnp.concatenate([r2[..., :mg], r2[..., m:]], axis=-1)
+            rg = r2[..., mg:m]
+            tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
+            tg = rg                                  # gamma G rows are zero
+            if trans == 0:
+                rhs_red = tk + jnp.einsum("bkg,bg->bk", Skg, Dginv * tg)
+                wk = _solve(fac, rhs_red, be, 0)
+                wg = -Dginv * (tg - jnp.einsum("bgk,bk->bg", Sgk, wk))
+            else:
+                rhs_red = tk + jnp.einsum("bgk,bg->bk", Sgk, Dginv * tg)
+                wk = _solve(fac, rhs_red, be, 1)
+                wg = -Dginv * (tg - jnp.einsum("bkg,bk->bg", Skg, wk))
+            w_full = jnp.concatenate(
+                [wk[..., :mg], wg, wk[..., mg:]], axis=-1)
+            z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
+            return jnp.concatenate([z, w_full], axis=-1)
 
         return solve
 
-    return factor_schur
+    return factor_schur_gamma
 
 
 def _factor(K, backend):
@@ -243,7 +298,8 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
-                backend="auto", q_diag=None, verbose=False):
+                backend="auto", q_diag=None, verbose=False,
+                gamma_rows=0):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -277,7 +333,8 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
             z, zero_m, zero_m, nu, zero_b, zero_b,
             jnp.zeros((B,), jnp.int32)))
 
-    kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend)
+    kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
+                                 gamma_rows if q_diag is not None else 0)
 
     # ---- Initialization: one Newton step from the origin with d_inv = 1,
     # then shift (s, lam) into the strict interior (qpth-style start).
