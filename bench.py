@@ -59,33 +59,48 @@ def time_chained(fn, *args, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_lcp_solves(B=4096, n=24, m=32, q=3):
-    """Batched mixed-LCP solves of physics-representative size and
-    structure: n=24 dofs (8 bodies), diagonal Q (mass matrix), m=32
-    inequality rows (8 contacts x (2+fd)), q=3 equality rows."""
+def bench_lcp_solves(B=4096):
+    """Batched contact-LCP solves, assembled EXACTLY as the engine does:
+    B random 8-body worlds -> (diagonal-Q, G, h, F with the friction-cone
+    structure, padded slots) -> one fused solver call (Schur + gamma
+    elimination + lane-batched Pallas LU)."""
+    from lcp_physics_tpu.core import (WorldState, default_params,
+                                      make_assemble, make_scene_static)
     from lcp_physics_tpu.lcp import lcp_solve
+    from lcp_physics_tpu.utils import SimConfig
 
+    N, C = 8, 8
     rng = np.random.default_rng(0)
-    dt = jnp.float32
-    # Physics-representative Q: the engine's generalized mass matrix is
-    # DIAGONAL (diag[I, m, m] per body), which activates the solver's
-    # Schur fast path exactly as world stepping does.
-    Q = jnp.asarray(rng.uniform(0.5, 4.0, (B, n)).astype(np.float32))
-    p = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
-    G = jnp.asarray(rng.standard_normal((B, m, n)).astype(np.float32))
-    z0 = rng.standard_normal((B, n)).astype(np.float32)
-    s0 = rng.uniform(0.5, 1.5, (B, m)).astype(np.float32)
-    h = jnp.asarray(np.einsum("bmn,bn->bm", np.asarray(G), z0) + s0)
-    A = jnp.asarray(rng.standard_normal((B, q, n)).astype(np.float32))
-    b = jnp.asarray(np.einsum("bqn,bn->bq", np.asarray(A), z0))
-    S = rng.standard_normal((B, m, m)).astype(np.float32)
-    F = jnp.asarray(S - S.transpose(0, 2, 1))
+    static = make_scene_static([1] * N, c_max=C)
+    params = default_params(
+        static, verts=np.zeros((N, 1, 2), np.float32),
+        radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
+        restitution=0.4, dtype=jnp.float32)
+    config = SimConfig(max_iter=15, solver_eps=1e-6)
+    assemble, _ = make_assemble(static, config)
 
-    solve = lambda Q, p, G, h, A, b, F: lcp_solve(
-        Q, p, G, h, A, b, F, max_iter=15, tol=1e-6)
-    sec = time_chained(solve, Q, p, G, h, A, b, F, reps=5)
+    # random near-contact cluster states: plenty of active contacts
+    pos = rng.uniform(0, 5.0, (B, N, 2)).astype(np.float32)
+    p = np.concatenate([np.zeros((B, N, 1), np.float32), pos], -1)
+    v = rng.standard_normal((B, N, 3)).astype(np.float32)
+    states = WorldState(p=jnp.asarray(p), v=jnp.asarray(v),
+                        t=jnp.zeros((B,), jnp.float32))
+    blocks, contacts = jax.vmap(assemble, in_axes=(None, 0, None))(
+        params, states, 0.01)
+    n_active = float(jnp.mean(jnp.sum(contacts.valid, axis=-1)))
+    m = blocks["G"].shape[-2]
+    q = blocks["A"].shape[-2]
+
+    def solve(Q, p, G, h, A, b, F):
+        return lcp_solve(Q, p, G, h, A, b, F, max_iter=15, tol=1e-6,
+                         gamma_rows=C)
+
+    sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
+                       blocks["h"], blocks["A"], blocks["b"], blocks["F"],
+                       reps=5)
     rate = B / sec
-    log(f"[bench] batched LCP: B={B} n={n} m={m} q={q}: "
+    log(f"[bench] batched contact LCP (engine-assembled): B={B} n={3*N} "
+        f"m={m} q={q}, avg {n_active:.1f} active contacts: "
         f"{sec * 1e3:.1f} ms/batch -> {rate:,.0f} solves/sec")
     return rate
 
