@@ -111,59 +111,56 @@ def _lu_kernel(K_ref, out_ref):
 # sequential VPU work but all the O(n^3) flops live in 128-wide GEMMs.
 # ---------------------------------------------------------------------------
 
-def _blocked_lu_kernel(K_ref, out_ref, linv_ref):
+def _blocked_lu_kernel(K_ref, out_ref, binv_ref, aug_ref):
+    """Blocked factorization with FULL diagonal-block inverses.
+
+    Variant of block LU suited to the TPU: for each 128-wide panel the
+    diagonal block K_tt is inverted by Gauss-Jordan (one 128-step VPU loop
+    on an augmented (P, 2P) tile — no separate panel scaling or triangular
+    inversions), then the U row block Binv_t K[t, t+1:] and the MXU
+    trailing update.  Afterwards:
+
+        K = Lhat Uhat,  Lhat[t, s<t] = out[t, s] (unscaled),
+        Lhat[t, t] = K_tt (implicitly; inverse stored in binv),
+        Uhat[t, s>t] = out[t, s],  Uhat[t, t] = I.
+
+    Solves become pure block substitution with batched matmuls and a
+    single inverse per diagonal block (see _blocked_solve).
+    """
     n = out_ref.shape[-1]
     out_ref[...] = K_ref[...]
     T = n // PANEL
-    j_panel = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL), 1)
+    i_blk = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
+    j_aug = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * PANEL), 1)
 
-    for t in range(T):  # static unroll: all slices below are static in t
+    for t in range(T):  # static unroll
         o = t * PANEL
-        W = n - o
-        i_sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        # Gauss-Jordan on [K_tt | I].  Mosaic forbids unaligned dynamic
+        # VMEM indexing, so pivot rows/columns are masked reductions.
+        aug_ref[:, :PANEL] = out_ref[0, o:o + PANEL, o:o + PANEL]
+        aug_ref[:, PANEL:] = jnp.eye(PANEL, dtype=out_ref.dtype)
 
-        # Mosaic restriction: no unaligned dynamic loads/stores in VMEM, so
-        # pivot rows/columns are extracted with masked reductions and all
-        # writes are full aligned tiles.
-
-        # 1) Panel factorization (rank-1 updates restricted to the panel).
-        def pk(k, _):
-            panel = out_ref[0, o:, o:o + PANEL]             # (W, PANEL)
-            sel_j = (j_panel == k).astype(panel.dtype)       # (1, PANEL)
-            sel_i = (i_sub == k).astype(panel.dtype)         # (W, 1)
-            col = jnp.sum(panel * sel_j, axis=1, keepdims=True)  # (W, 1)
-            row = jnp.sum(panel * sel_i, axis=0, keepdims=True)  # (1, PANEL)
-            d = jnp.sum(row * sel_j, axis=1, keepdims=True)  # (1, 1)
-            lcol = jnp.where(i_sub > k, col * _safe_inv(d), 0.0)
-            rowm = jnp.where(j_panel > k, row, 0.0)
-            out_ref[0, o:, o:o + PANEL] = jnp.where(
-                (j_panel == k) & (i_sub > k), lcol, panel - lcol * rowm)
+        def gj(k, _):
+            aug = aug_ref[...]
+            sel_i = (i_blk == k).astype(aug.dtype)           # (P, 1)
+            sel_j = (j_aug == k).astype(aug.dtype)           # (1, 2P)
+            row = jnp.sum(aug * sel_i, axis=0, keepdims=True)   # (1, 2P)
+            piv = jnp.sum(row * sel_j, axis=1, keepdims=True)   # (1, 1)
+            rown = row * _safe_inv(piv)
+            col = jnp.sum(aug * sel_j, axis=1, keepdims=True)   # (P, 1)
+            elim = aug - col * rown
+            aug_ref[...] = jnp.where(i_blk == k, rown, elim)
             return 0
 
-        jax.lax.fori_loop(0, PANEL, pk, 0)
+        jax.lax.fori_loop(0, PANEL, gj, 0)
+        binv_ref[0, t] = aug_ref[:, PANEL:]
 
         if o + PANEL >= n:
             break
 
-        # 2) Invert the unit-lower diagonal block by substitution.
-        linv_ref[...] = jnp.eye(PANEL, dtype=out_ref.dtype)
-        dblk = out_ref[0, o:o + PANEL, o:o + PANEL]          # (PANEL, PANEL)
-        i_blk = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
-
-        def ik(i, _):
-            sel_i = (i_blk == i).astype(dblk.dtype)          # (PANEL, 1)
-            lrow = jnp.sum(dblk * sel_i, axis=0, keepdims=True)  # (1, PANEL)
-            lrow = jnp.where(j_panel < i, lrow, 0.0)
-            s = jnp.dot(lrow, linv_ref[...],
-                        preferred_element_type=jnp.float32)  # (1, PANEL)
-            linv_ref[...] = jnp.where(i_blk == i, linv_ref[...] - s,
-                                      linv_ref[...])
-            return 0
-
-        jax.lax.fori_loop(0, PANEL, ik, 0)
-
-        # 3) U row block + MXU trailing update.
-        ublk = jnp.dot(linv_ref[...], out_ref[0, o:o + PANEL, o + PANEL:],
+        # U row block + MXU trailing update (lower blocks stay unscaled).
+        ublk = jnp.dot(aug_ref[:, PANEL:],
+                       out_ref[0, o:o + PANEL, o + PANEL:],
                        preferred_element_type=jnp.float32)
         out_ref[0, o:o + PANEL, o + PANEL:] = ublk
         lblk = out_ref[0, o + PANEL:, o:o + PANEL]
@@ -173,7 +170,8 @@ def _blocked_lu_kernel(K_ref, out_ref, linv_ref):
 
 
 def _blocked_lu(K):
-    """Blocked pivotless LU: K (B, n, n) -> combined LU (B, n_pad, n_pad)."""
+    """Blocked factorization: K (B, n, n) -> (lu, binv) with binv the
+    (B, T, P, P) Gauss-Jordan inverses of the diagonal blocks."""
     B, n = K.shape[0], K.shape[-1]
     dt = K.dtype
     n_pad = _ru(n, PANEL)
@@ -183,35 +181,76 @@ def _blocked_lu(K):
         idx = jnp.arange(n, n_pad)
         Kp = Kp.at[:, idx, idx].set(1.0)
 
-    lu = pl.pallas_call(
+    T = n_pad // PANEL
+    lu, binv = pl.pallas_call(
         _blocked_lu_kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), dt),
-        scratch_shapes=[pltpu.VMEM((PANEL, PANEL), dt)],
+        out_specs=(
+            pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, PANEL, PANEL), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad, n_pad), dt),
+            jax.ShapeDtypeStruct((B, T, PANEL, PANEL), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((PANEL, 2 * PANEL), dt)],
         input_output_aliases={0: 0},
         interpret=_interpret(),
     )(Kp)
-    return lu
+    return lu, binv
 
 
-def _blocked_solve(lu, r, n, trans=0):
-    """Two batched triangular solves on the combined blocked-LU factors."""
+def _blocked_solve(fac2, r, n, trans=0):
+    """Block substitution on (lu, binv): one batched-matmul inverse apply
+    per diagonal block, unit-upper back substitution — no triangular
+    solves anywhere."""
+    lu, binv = fac2
     B, n_pad = lu.shape[0], lu.shape[-1]
-    rp = jnp.zeros((B, n_pad), lu.dtype).at[:, :n].set(r)[..., None]
-    tri = jax.lax.linalg.triangular_solve
+    T = n_pad // PANEL
+    rp = jnp.zeros((B, n_pad), lu.dtype).at[:, :n].set(r)
+
+    def blk(t, s):
+        return lu[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
+
+    def part(v, t):
+        return v[:, t * PANEL:(t + 1) * PANEL]
+
+    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v)
+    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v)
+
     if trans == 0:
-        y = tri(lu, rp, left_side=True, lower=True, unit_diagonal=True)
-        x = tri(lu, y, left_side=True, lower=False)
+        ys = []
+        for t in range(T):  # Lhat y = r (diag blocks K_tt, inverse binv)
+            acc = part(rp, t)
+            for s in range(t):
+                acc = acc - mv(blk(t, s), ys[s])
+            ys.append(mv(binv[:, t], acc))
+        xs = [None] * T
+        for t in reversed(range(T)):  # Uhat x = y (unit diagonal)
+            acc = ys[t]
+            for s in range(t + 1, T):
+                acc = acc - mv(blk(t, s), xs[s])
+            xs[t] = acc
     else:
-        # K^T x = r with K = L U:  U^T z = r, then L^T x = z.
-        z = tri(lu, rp, left_side=True, lower=False, transpose_a=True)
-        x = tri(lu, z, left_side=True, lower=True, unit_diagonal=True,
-                transpose_a=True)
-    return x[..., 0][:, :n]
+        # K^T x = r with K = Lhat Uhat:  Uhat^T z = r (unit lower), then
+        # Lhat^T x = z (diag blocks K_tt^T).
+        zs = []
+        for t in range(T):
+            acc = part(rp, t)
+            for s in range(t):
+                acc = acc - mtv(blk(s, t), zs[s])
+            zs.append(acc)
+        xs = [None] * T
+        for t in reversed(range(T)):
+            acc = zs[t]
+            for s in range(t + 1, T):
+                acc = acc - mtv(blk(s, t), xs[s])
+            xs[t] = mtv(binv[:, t], acc)
+    return jnp.concatenate(xs, axis=-1)[:, :n]
 
 
 def plu_factor(K):
@@ -321,8 +360,8 @@ def plu_solve(fac, r, trans=0):
     """Solve K x = r (or K^T x = r with trans=1) from a :func:`plu_factor`
     result.  r: (B, n) -> (B, n)."""
     if fac[0] == "blocked":
-        _, lu, (B, n) = fac
-        return _blocked_solve(lu, r, n, trans)
+        _, fac2, (B, n) = fac
+        return _blocked_solve(fac2, r, n, trans)
     _, lu_t, (B, n) = fac
     n_pad, _, B_pad = lu_t.shape
     dt = lu_t.dtype
