@@ -79,10 +79,10 @@ def _lu_kernel(K_ref, out_ref):
     # aliased in-place on TPU (self-copy is a no-op); real copy in interpret
     out_ref[:] = K_ref[:]
 
-    # Elimination steps are grouped into static chunks so each step's fused
-    # read-modify-write touches only the not-yet-finalized trailing block
-    # out[o:, o:, :] (statically shrinking) instead of the whole matrix —
-    # ~2.5x less VMEM traffic than a full-matrix update per step.
+    # Elimination steps run in static chunks over the trailing block
+    # out[o:, o:, :].  (Measured on v5e: a single chunk — full-matrix
+    # updates — is as fast as finer chunking at the n<=88 sizes this
+    # kernel serves, so _LANE_CHUNK=128 keeps one chunk in practice.)
     for o in range(0, n, _LANE_CHUNK):
         W = n - o
         i_ids = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
