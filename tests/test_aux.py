@@ -82,3 +82,44 @@ def test_parity_harness_skips_cleanly():
                        env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0
     assert "PARITY" in r.stdout
+
+
+def test_remat_rollout_matches_plain():
+    """jax.checkpoint rollouts (long-horizon BPTT memory mode) must give
+    identical values and gradients."""
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.5)
+    s0 = WorldState(p=jnp.array([[0., 0., -3.], [0., 0., 0.]]),
+                    v=jnp.zeros((2, 3)), t=jnp.zeros(()))
+    step = make_step(static)
+
+    def final_y(vy0, remat):
+        s = WorldState(p=s0.p, v=s0.v.at[0, 2].set(vy0), t=s0.t)
+        f, _ = rollout(step, params, s, DT, 30, remat_segments=remat)
+        return f.p[0, 2]
+
+    np.testing.assert_allclose(final_y(1.0, 0), final_y(1.0, 1), atol=0)
+    g0 = jax.grad(final_y)(1.0, 0)
+    g1 = jax.grad(final_y)(1.0, 1)
+    np.testing.assert_allclose(g0, g1, atol=1e-12)
+
+
+def test_lcp_batch_util():
+    """The reference-style nBatch broadcasting wrapper (lcp.util.batch)."""
+    from lcp_physics_tpu.lcp import batch, pdipm_solve
+
+    rng = np.random.default_rng(30)
+    n, m, B = 5, 3, 4
+    L = rng.standard_normal((n, n))
+    Q = jnp.asarray(L @ L.T + n * np.eye(n))     # shared across batch
+    p = jnp.asarray(rng.standard_normal((B, n)))  # per-instance
+    G = jnp.asarray(rng.standard_normal((m, n)))
+    h = jnp.asarray(G @ rng.standard_normal(n) + 1.0)
+    A = jnp.zeros((0, n))
+    b = jnp.zeros((0,))
+    F = jnp.zeros((m, m))
+
+    solver = batch(lambda *xs, **kw: pdipm_solve(*xs, **kw).z)
+    z = solver(Q, p, G, h, A, b, F, max_iter=25, tol=1e-10)
+    assert z.shape == (B, n)
+    z0 = pdipm_solve(Q, p[0], G, h, A, b, F, max_iter=25, tol=1e-10).z
+    np.testing.assert_allclose(z[0], z0, atol=1e-8)
