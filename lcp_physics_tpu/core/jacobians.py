@@ -88,12 +88,12 @@ def constraint_position_error(static: SceneStatic, p):
                 a2 = p[b2, 1:3] + rotate(jnp.asarray(js.local2, dt),
                                          p[b2, 0])
             else:
-                a2 = jnp.asarray(js.ref[:2], dt)
+                a2 = jnp.asarray(js.ref[1:3], dt)
             err = a1 - a2
             errs += [err[0], err[1]]
             if js.kind == "fixed":
                 rot2 = p[js.body2, 0] if js.body2 >= 0 else 0.0
-                errs.append(p[b1, 0] - rot2 - js.ref[2])
+                errs.append(p[b1, 0] - rot2 - js.ref[0])
         elif js.kind in ("x", "y", "rot"):
             col = {"rot": 0, "x": 1, "y": 2}[js.kind]
             errs.append(p[b1, col] - js.ref[col])

@@ -67,8 +67,10 @@ class JointSpec:
 
     kind: 'joint' (2 rows), 'fixed' (3), 'x'/'y'/'rot' (1), 'total' (3).
     body2 < 0 means the constraint anchors the body to the world.
-    local1/local2: anchor offsets in each body frame (joints); target values
-    for the world-anchored constraints live in ``ref`` ([x0, y0, rot0]).
+    local1/local2: anchor offsets in each body frame (joints).
+    ref: target values in the p layout [rot0, x0, y0] — for 'joint'/'fixed'
+    the world anchor is ref[1:3] and ref[0] is the locked relative rotation
+    ('fixed' only); for the axis constraints ref[col] is the pinned value.
     """
 
     kind: str

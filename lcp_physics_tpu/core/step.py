@@ -213,19 +213,19 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     return step_b
 
 
-def rollout(step, params, state, dt, n_steps, remat_segments=0):
+def rollout(step, params, state, dt, n_steps, remat=False):
     """Roll the world forward ``n_steps`` with ``lax.scan``.
 
     Returns (final_state, trajectory) where trajectory stacks every
     intermediate :class:`WorldState` along a leading time axis.
 
-    ``remat_segments > 0`` wraps the per-step body in ``jax.checkpoint`` so
+    ``remat=True`` wraps the per-step body in ``jax.checkpoint`` so
     long-horizon BPTT (the inference/control demos) trades recompute for
     activation memory — the honest TPU counterpart of the reference's
     unbatched autograd tape (SURVEY.md §5.7).
     """
     body = lambda s, _: (step(params, s, dt)[0],) * 2
-    if remat_segments:
+    if remat:
         body = jax.checkpoint(body)
     final, traj = jax.lax.scan(body, state, None, length=n_steps)
     return final, traj

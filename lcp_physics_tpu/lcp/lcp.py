@@ -79,7 +79,8 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
     q = nu.shape[-1]
     dt = Q.dtype
     consts = _dtype_consts(dt)
-    backend = resolve_backend(backend, n + m + q)
+    # backend resolution happens inside make_kkt_factor / solve_eq_kkt at
+    # the size of the system actually factored (Schur/gamma-reduced).
 
     if m == 0:
         wz, wn = solve_eq_kkt(Q, g, A, jnp.zeros_like(nu), backend=backend)
@@ -122,10 +123,20 @@ def _normalize(Q, p, G, h, A, b, F):
     G = jnp.asarray(G, dt)
     h = jnp.asarray(h, dt)
     batched = p.ndim == 2
-    diag_q = Q.ndim == p.ndim  # diagonal Q given as a vector
+    n = p.shape[-1]
+    # Diagonal-Q detection by shape: a 1-D Q is always a diagonal; a 2-D Q
+    # with a batched p is a per-instance diagonal only when it matches
+    # (B, n) and cannot be the shared dense (n, n) — in the ambiguous
+    # B == n case the dense interpretation wins (pass per-instance
+    # diagonals with B != n, or expand to (B, n, n), to disambiguate).
+    if batched:
+        B_ = p.shape[0]
+        diag_q = Q.ndim == 1 or (Q.ndim == 2 and Q.shape == (B_, n)
+                                 and B_ != n)
+    else:
+        diag_q = Q.ndim == 1
     if diag_q:
-        Q = Q[..., None] * jnp.eye(Q.shape[-1], dtype=dt)
-    n = Q.shape[-1]
+        Q = Q[..., None] * jnp.eye(n, dtype=dt)
     m = G.shape[-2]
     lead = (p.shape[0],) if batched else ()
     if A is None:

@@ -316,7 +316,9 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     dt = Q.dtype
     consts = _dtype_consts(dt)
     reg = consts["reg"]
-    backend = resolve_backend(backend, n + m + q)
+    # NOTE: backend stays unresolved here; make_kkt_factor / solve_eq_kkt
+    # resolve 'auto' against the size of the system they actually factor
+    # (the Schur/gamma-reduced size, not the dense KKT size).
     if q_diag is not None and q_diag.ndim == 1:
         q_diag = jnp.broadcast_to(q_diag[None], (B, n))
 

@@ -166,7 +166,7 @@ class Hull(Body):
             verts = verts[::-1].copy()
         centroid = np.asarray(polygon_centroid(jnp.asarray(verts)))
         self.verts = verts - centroid
-        pos = np.asarray(pos, float)
+        pos = np.array(pos, float)  # copy: never mutate the caller's array
         if pos.shape == (2,):
             pos = np.concatenate([[0.0], pos])
         pos[1:3] = pos[1:3] + centroid

@@ -58,7 +58,7 @@ class Joint(Constraint):
             kind="joint", body1=index_of[self.body1],
             body2=index_of[self.body2] if self.body2 is not None else -1,
             local1=self.local1, local2=self.local2,
-            ref=(float(self.pos[0]), float(self.pos[1]), 0.0))
+            ref=(0.0, float(self.pos[0]), float(self.pos[1])))
 
     def draw(self, screen, pixels_per_meter=1):
         import pygame
@@ -92,7 +92,7 @@ class FixedJoint(Constraint):
             kind="fixed", body1=index_of[self.body1],
             body2=index_of[self.body2],
             local1=self.local1, local2=self.local2,
-            ref=(float(self.pos[0]), float(self.pos[1]), self.rel_rot))
+            ref=(self.rel_rot, float(self.pos[0]), float(self.pos[1])))
 
 
 class _SingleAxisConstraint(Constraint):

@@ -187,7 +187,8 @@ class World:
         while True:
             dt_try = target - advanced
             state = self.world_state
-            for _ in range(6):  # bounded dt-halving (SURVEY §3.1 backtrack)
+            for attempt in range(6):  # bounded dt-halving (SURVEY §3.1)
+                dt_used = dt_try
                 new_state, diag = step_fn(self.scene_params, state, dt_try)
                 if (not self.strict_no_penetration
                         or float(diag.max_penetration) <= self.tol
@@ -196,8 +197,8 @@ class World:
                 dt_try = dt_try / 2.0
             self._state = new_state
             self._state_dirty = False
-            advanced += dt_try
-            self.t += dt_try
+            advanced += dt_used
+            self.t += dt_used
             if not fixed_dt or advanced >= target - 1e-12:
                 break
         self._scatter_state()

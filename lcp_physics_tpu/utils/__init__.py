@@ -138,16 +138,18 @@ def polar_to_cart(r, theta):
 def orthogonal_tangents(n, fric_dirs=2):
     """Friction tangent directions for a contact normal n (..., 2).
 
-    Returns (..., fric_dirs, 2): for fric_dirs=2 the pair (+t, -t) with
-    t = perp(n); higher counts fan directions around the unit circle (the
-    reference only ever uses 2 in 2D).
+    Returns (..., 2, 2): the pair (+t, -t) with t = perp(n).  In 2D the
+    tangent space is one-dimensional, so exactly two opposed directions
+    span the polyhedral friction cone — other counts would either leave
+    the cone one-sided (1) or include non-tangent directions (>2), so they
+    are rejected (the reference likewise always uses FRIC_DIRS=2).
     """
+    if fric_dirs != 2:
+        raise ValueError(
+            f"2D friction needs exactly 2 tangent directions (+t, -t); "
+            f"got fric_dirs={fric_dirs}")
     t = perp_2d(n)
-    dirs = [t, -t]
-    for k in range(2, fric_dirs):
-        ang = jnp.pi * k / fric_dirs
-        dirs.append(rotate(t, ang))
-    return jnp.stack(dirs[:fric_dirs], axis=-2)
+    return jnp.stack([t, -t], axis=-2)
 
 
 def polygon_inertia(verts, mass):

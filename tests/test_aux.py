@@ -94,12 +94,13 @@ def test_remat_rollout_matches_plain():
 
     def final_y(vy0, remat):
         s = WorldState(p=s0.p, v=s0.v.at[0, 2].set(vy0), t=s0.t)
-        f, _ = rollout(step, params, s, DT, 30, remat_segments=remat)
+        f, _ = rollout(step, params, s, DT, 30, remat=remat)
         return f.p[0, 2]
 
-    np.testing.assert_allclose(final_y(1.0, 0), final_y(1.0, 1), atol=0)
-    g0 = jax.grad(final_y)(1.0, 0)
-    g1 = jax.grad(final_y)(1.0, 1)
+    np.testing.assert_allclose(final_y(1.0, False), final_y(1.0, True),
+                               atol=0)
+    g0 = jax.grad(final_y)(1.0, False)
+    g1 = jax.grad(final_y)(1.0, True)
     np.testing.assert_allclose(g0, g1, atol=1e-12)
 
 
