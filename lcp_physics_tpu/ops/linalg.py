@@ -111,14 +111,15 @@ def _lu_kernel(K_ref, out_ref):
 # sequential VPU work but all the O(n^3) flops live in 128-wide GEMMs.
 # ---------------------------------------------------------------------------
 
-def _blocked_lu_kernel(K_ref, out_ref, binv_ref, aug_ref):
+def _blocked_lu_kernel(W4, K_ref, out_ref, binv_ref, aug_ref):
     """Blocked factorization with FULL diagonal-block inverses.
 
     Variant of block LU suited to the TPU: for each 128-wide panel the
     diagonal block K_tt is inverted by Gauss-Jordan (one 128-step VPU loop
-    on an augmented (P, 2P) tile — no separate panel scaling or triangular
-    inversions), then the U row block Binv_t K[t, t+1:] and the MXU
-    trailing update.  Afterwards:
+    on an augmented (W4, P, 2P) tile — no separate panel scaling or
+    triangular inversions), then the U row block Binv_t K[t, t+1:] and the
+    MXU trailing update.  ``W4`` worlds share each grid cell so the
+    sequential GJ loop's per-step overhead amortizes across them.
 
         K = Lhat Uhat,  Lhat[t, s<t] = out[t, s] (unscaled),
         Lhat[t, t] = K_tt (implicitly; inverse stored in binv),
@@ -130,43 +131,55 @@ def _blocked_lu_kernel(K_ref, out_ref, binv_ref, aug_ref):
     n = out_ref.shape[-1]
     out_ref[...] = K_ref[...]
     T = n // PANEL
-    i_blk = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
-    j_aug = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * PANEL), 1)
+    i_blk = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL, 1), 1)
+    j_aug = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * PANEL), 2)
 
     for t in range(T):  # static unroll
         o = t * PANEL
-        # Gauss-Jordan on [K_tt | I].  Mosaic forbids unaligned dynamic
-        # VMEM indexing, so pivot rows/columns are masked reductions.
-        aug_ref[:, :PANEL] = out_ref[0, o:o + PANEL, o:o + PANEL]
-        aug_ref[:, PANEL:] = jnp.eye(PANEL, dtype=out_ref.dtype)
+        # Gauss-Jordan on [K_tt | I] for all W4 worlds at once.  Mosaic
+        # forbids unaligned dynamic VMEM indexing, so pivot rows/columns
+        # are masked reductions.
+        aug_ref[:, :, :PANEL] = out_ref[:, o:o + PANEL, o:o + PANEL]
+        aug_ref[:, :, PANEL:] = jnp.broadcast_to(
+            jnp.eye(PANEL, dtype=out_ref.dtype), (W4, PANEL, PANEL))
 
         def gj(k, _):
             aug = aug_ref[...]
-            sel_i = (i_blk == k).astype(aug.dtype)           # (P, 1)
-            sel_j = (j_aug == k).astype(aug.dtype)           # (1, 2P)
-            row = jnp.sum(aug * sel_i, axis=0, keepdims=True)   # (1, 2P)
-            piv = jnp.sum(row * sel_j, axis=1, keepdims=True)   # (1, 1)
+            sel_i = (i_blk == k).astype(aug.dtype)           # (1, P, 1)
+            sel_j = (j_aug == k).astype(aug.dtype)           # (1, 1, 2P)
+            row = jnp.sum(aug * sel_i, axis=1, keepdims=True)   # (W4,1,2P)
+            piv = jnp.sum(row * sel_j, axis=2, keepdims=True)   # (W4,1,1)
             rown = row * _safe_inv(piv)
-            col = jnp.sum(aug * sel_j, axis=1, keepdims=True)   # (P, 1)
+            col = jnp.sum(aug * sel_j, axis=2, keepdims=True)   # (W4,P,1)
             elim = aug - col * rown
             aug_ref[...] = jnp.where(i_blk == k, rown, elim)
             return 0
 
         jax.lax.fori_loop(0, PANEL, gj, 0)
-        binv_ref[0, t] = aug_ref[:, PANEL:]
+        binv_ref[:, t] = aug_ref[:, :, PANEL:]
 
         if o + PANEL >= n:
             break
 
-        # U row block + MXU trailing update (lower blocks stay unscaled).
-        ublk = jnp.dot(aug_ref[:, PANEL:],
-                       out_ref[0, o:o + PANEL, o + PANEL:],
-                       preferred_element_type=jnp.float32)
-        out_ref[0, o:o + PANEL, o + PANEL:] = ublk
-        lblk = out_ref[0, o + PANEL:, o:o + PANEL]
-        out_ref[0, o + PANEL:, o + PANEL:] = (
-            out_ref[0, o + PANEL:, o + PANEL:]
-            - jnp.dot(lblk, ublk, preferred_element_type=jnp.float32))
+        # U row block + MXU trailing update (lower blocks stay unscaled);
+        # static per-world loop — small matmuls per cell.
+        for w in range(W4):
+            ublk = jnp.dot(aug_ref[w, :, PANEL:],
+                           out_ref[w, o:o + PANEL, o + PANEL:],
+                           preferred_element_type=jnp.float32)
+            out_ref[w, o:o + PANEL, o + PANEL:] = ublk
+            lblk = out_ref[w, o + PANEL:, o:o + PANEL]
+            out_ref[w, o + PANEL:, o + PANEL:] = (
+                out_ref[w, o + PANEL:, o + PANEL:]
+                - jnp.dot(lblk, ublk, preferred_element_type=jnp.float32))
+
+
+def _world_tile(n_pad):
+    """Worlds per grid cell under the VMEM budget (in+out double-buffered
+    K tiles plus the augmented GJ scratch must stay well under 16 MB)."""
+    per_world = n_pad * n_pad * 4 * 4  # K in+out, double-buffered
+    budget = 12 * 1024 * 1024
+    return max(1, min(8, budget // max(per_world, 1)))
 
 
 def _blocked_lu(K):
@@ -175,33 +188,37 @@ def _blocked_lu(K):
     B, n = K.shape[0], K.shape[-1]
     dt = K.dtype
     n_pad = _ru(n, PANEL)
-    Kp = jnp.zeros((B, n_pad, n_pad), dt)
-    Kp = Kp.at[:, :n, :n].set(K)
+    W4 = _world_tile(n_pad)
+    B_pad = _ru(max(B, 1), W4)
+    Kp = jnp.zeros((B_pad, n_pad, n_pad), dt)
+    Kp = Kp.at[:B, :n, :n].set(K)
+    idx = jnp.arange(n_pad)
     if n_pad > n:
-        idx = jnp.arange(n, n_pad)
-        Kp = Kp.at[:, idx, idx].set(1.0)
+        Kp = Kp.at[:, idx[n:], idx[n:]].set(1.0)
+    if B_pad > B:
+        Kp = Kp.at[B:, idx, idx].set(1.0)
 
     T = n_pad // PANEL
     lu, binv = pl.pallas_call(
-        _blocked_lu_kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+        partial(_blocked_lu_kernel, W4),
+        grid=(B_pad // W4,),
+        in_specs=[pl.BlockSpec((W4, n_pad, n_pad), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+            pl.BlockSpec((W4, n_pad, n_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, PANEL, PANEL), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((W4, T, PANEL, PANEL), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, n_pad, n_pad), dt),
-            jax.ShapeDtypeStruct((B, T, PANEL, PANEL), dt),
+            jax.ShapeDtypeStruct((B_pad, n_pad, n_pad), dt),
+            jax.ShapeDtypeStruct((B_pad, T, PANEL, PANEL), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((PANEL, 2 * PANEL), dt)],
+        scratch_shapes=[pltpu.VMEM((W4, PANEL, 2 * PANEL), dt)],
         input_output_aliases={0: 0},
         interpret=_interpret(),
     )(Kp)
-    return lu, binv
+    return lu[:B], binv[:B]
 
 
 def _blocked_solve(fac2, r, n, trans=0):
