@@ -177,3 +177,39 @@ def test_world_step_fixed_dt_covers_full_dt():
     t0 = w.t
     w.step(fixed_dt=True)
     assert w.t == pytest.approx(t0 + w.dt, abs=1e-9)
+
+
+def test_box_stack_stability():
+    """A 3-box stack under gravity stays standing (classic LCP-engine
+    stability check: friction + simultaneous contacts)."""
+    boxes = [Rect([50.0, 17.0 - 2.05 * k], [4.0, 2.0], fric_coeff=0.8,
+                  restitution=0.0) for k in range(3)]
+    ground, tc = make_ground(y=20.0)
+    w = World(boxes + [ground], [tc], gravity=(0.0, 10.0), dt=1 / 60)
+    run_world(w, run_time=1.5)
+    for k, b in enumerate(boxes):
+        # each box still near its column and upright
+        assert abs(float(b.p[1]) - 50.0) < 0.5, f"box {k} slid"
+        assert abs(float(b.p[0])) < 0.1, f"box {k} tipped"
+        assert float(b.p[2]) < 20.0, f"box {k} fell through"
+
+
+def test_world_post_stab_kwarg():
+    ball = Circle([10.0, 0.0], rad=0.5)
+    j = Joint(ball, None, [0.0, 0.0])
+    w = World([ball], [j], gravity=(0.0, 10.0), post_stab=True, dt=1 / 60)
+    for _ in range(60):
+        w.step()
+    # anchor held to high precision thanks to post-stabilization
+    r = np.linalg.norm(np.asarray(ball.p[1:3]))
+    assert abs(r - 10.0) < 0.05
+
+
+def test_world_ode_handler_string():
+    ball = Circle([50.0, 10.0], rad=1.0)
+    ground, tc = make_ground()
+    w = World([ball, ground], [tc], contact_callback="ode",
+              gravity=(0.0, 10.0))
+    assert isinstance(w.contact_callback, OdeContactHandler)
+    w.step()
+    assert float(ball.v[2]) > 0
