@@ -57,3 +57,19 @@ class PdipmEngine(Engine):
         returns (new_state, diagnostics)."""
         step = self.compiled_step(world)
         return step(world.scene_params, world.world_state, dt)
+
+    def post_stabilization(self, world):
+        """One position-projection solve on the world's current state
+        (the reference's ``engine.post_stabilization(world)`` entry point;
+        normally run per-step via ``World(post_stab=True)``)."""
+        from lcp_physics_tpu.core.step import make_assemble
+        from lcp_physics_tpu.lcp import lcp_solve
+
+        static, params, state = world.functional()
+        config = self._config(world)
+        _, assemble_ps = make_assemble(static, config)
+        blocks = assemble_ps(params, state.p)
+        dp = lcp_solve(**blocks, max_iter=config.max_iter,
+                       tol=config.solver_eps, backend=config.lcp_backend)
+        world.set_p(state.p + dp.reshape(state.p.shape))
+        return world

@@ -213,3 +213,18 @@ def test_world_ode_handler_string():
     assert isinstance(w.contact_callback, OdeContactHandler)
     w.step()
     assert float(ball.v[2]) > 0
+
+
+def test_engine_post_stabilization_method():
+    """Reference entry point: engine.post_stabilization(world) projects
+    accumulated joint drift away on demand."""
+    ball = Circle([10.0, 0.0], rad=0.5)
+    j = Joint(ball, None, [0.0, 0.0])
+    w = World([ball], [j], gravity=(0.0, 10.0), dt=1 / 60)
+    for _ in range(60):
+        w.step()
+    drift_before = abs(np.linalg.norm(np.asarray(ball.p[1:3])) - 10.0)
+    w.engine.post_stabilization(w)
+    drift_after = abs(np.linalg.norm(np.asarray(ball.p[1:3])) - 10.0)
+    assert drift_after < drift_before
+    assert drift_after < 1e-3
