@@ -49,21 +49,15 @@ from lcp_physics_tpu.lcp.util import bger
 def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
                     gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                      backend=backend,
-                      q_diag=_diag_of(Q) if diag_q else None,
+                      backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows)
     return sol.z
-
-
-def _diag_of(Q):
-    return jnp.diagonal(Q, axis1=-2, axis2=-1)
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
              gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                      backend=backend,
-                      q_diag=_diag_of(Q) if diag_q else None,
+                      backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F)
     return sol.z, residuals
@@ -71,28 +65,34 @@ def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
     z, s, lam, nu, Q, G, A, F = residuals
-    single = Q.ndim == 2
+    # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
+    # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
+    single = G.ndim == 2
     if single:
         z, s, lam, nu, Q, G, A, F, g = jax.tree.map(
             lambda x: x[None], (z, s, lam, nu, Q, G, A, F, g))
-    n, m = Q.shape[-1], G.shape[-2]
+    n, m = G.shape[-1], G.shape[-2]
     q = nu.shape[-1]
     dt = Q.dtype
     consts = _dtype_consts(dt)
     # backend resolution happens inside make_kkt_factor / solve_eq_kkt at
     # the size of the system actually factored (Schur/gamma-reduced).
 
+    def dQ_of(wz):
+        return -(wz * z) if diag_q else -bger(wz, z)
+
     if m == 0:
-        wz, wn = solve_eq_kkt(Q, g, A, jnp.zeros_like(nu), backend=backend)
+        Qd = Q[..., None] * jnp.eye(n, dtype=dt) if diag_q else Q
+        wz, wn = solve_eq_kkt(Qd, g, A, jnp.zeros_like(nu), backend=backend)
         wz = -wz  # solve_eq_kkt solves with rhs [-p; b]; we want [g; 0]
         wn = -wn
-        grads = (-bger(wz, z), -wz, jnp.zeros_like(G), jnp.zeros_like(s),
+        grads = (dQ_of(wz), -wz, jnp.zeros_like(G), jnp.zeros_like(s),
                  -(bger(wn, z) + bger(nu, wz)), wn, jnp.zeros_like(F))
     else:
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"],
                          consts["dinv_max"])
-        kkt = make_kkt_factor(Q, _diag_of(Q) if diag_q else None, G, A, F,
+        kkt = make_kkt_factor(Q, Q if diag_q else None, G, A, F,
                               consts["reg"], backend,
                               gamma_rows if diag_q else 0)(d_inv)
         rhs = jnp.concatenate(
@@ -100,7 +100,7 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
         w = kkt(rhs, trans=1)
         wz, wl, wn = w[..., :n], w[..., n:n + m], w[..., n + m:]
         grads = (
-            -bger(wz, z),                  # dQ
+            dQ_of(wz),                     # dQ
             -wz,                           # dp
             -(bger(wl, z) + bger(lam, wz)),  # dG
             wl,                            # dh
@@ -116,7 +116,7 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
 _lcp_solve_core.defvjp(_lcp_fwd, _lcp_bwd)
 
 
-def _normalize(Q, p, G, h, A, b, F):
+def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
     dt = jnp.result_type(Q, p)
     Q = jnp.asarray(Q, dt)
     p = jnp.asarray(p, dt)
@@ -124,19 +124,35 @@ def _normalize(Q, p, G, h, A, b, F):
     h = jnp.asarray(h, dt)
     batched = p.ndim == 2
     n = p.shape[-1]
-    # Diagonal-Q detection by shape: a 1-D Q is always a diagonal; a 2-D Q
-    # with a batched p is a per-instance diagonal only when it matches
-    # (B, n) and cannot be the shared dense (n, n) — in the ambiguous
-    # B == n case the dense interpretation wins (pass per-instance
-    # diagonals with B != n, or expand to (B, n, n), to disambiguate).
-    if batched:
+    if q_is_diag is not None:
+        # Explicit flag (callers that KNOW, e.g. core/step.py passing the
+        # mass diagonal) — no shape sniffing, no ambiguity.
+        diag_q = bool(q_is_diag)
+        allowed = {1, p.ndim} if diag_q else {2, p.ndim + 1}
+        if Q.ndim not in allowed:
+            raise ValueError(
+                f"q_is_diag={q_is_diag} but Q.ndim={Q.ndim} does not match "
+                f"p.ndim={p.ndim} (diagonal Q must be (n,) or (B, n); dense "
+                "Q must be (n, n) or (B, n, n))")
+    elif batched:
+        # Diagonal-Q detection by shape: a 1-D Q is always a diagonal; a
+        # 2-D Q with a batched p is a per-instance diagonal when it matches
+        # (B, n).  The B == n case is genuinely ambiguous (could equally be
+        # one shared dense (n, n)) and silently guessing produced garbage
+        # dynamics downstream — refuse and demand the explicit flag.
         B_ = p.shape[0]
-        diag_q = Q.ndim == 1 or (Q.ndim == 2 and Q.shape == (B_, n)
-                                 and B_ != n)
+        if Q.ndim == 2 and Q.shape == (B_, n) and B_ == n:
+            raise ValueError(
+                f"Q shape {Q.shape} with batch B == n == {n} is ambiguous: "
+                "pass q_is_diag=True (per-instance diagonals) or "
+                "q_is_diag=False (shared dense Q)")
+        diag_q = Q.ndim == 1 or (Q.ndim == 2 and Q.shape == (B_, n))
     else:
         diag_q = Q.ndim == 1
-    if diag_q:
-        Q = Q[..., None] * jnp.eye(n, dtype=dt)
+    if diag_q and batched and Q.ndim == 1:
+        # Keep Q in diagonal form (never expanded to (B, n, n)); just give
+        # a shared diagonal the explicit batch axis the solver expects.
+        Q = jnp.broadcast_to(Q[None], (p.shape[0], n))
     m = G.shape[-2]
     lead = (p.shape[0],) if batched else ()
     if A is None:
@@ -153,7 +169,8 @@ def _normalize(Q, p, G, h, A, b, F):
 
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
-              max_iter=20, tol=1e-7, backend="auto", gamma_rows=0):
+              max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
+              q_is_diag=None):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -162,24 +179,28 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     ``F`` to zeros (plain QP — the qpth case).
 
     Passing Q as a 1-D diagonal (the physics mass matrix) activates the
-    Schur fast path in the solver.  Gradients flow to all seven inputs via
+    Schur fast path in the solver.  ``q_is_diag`` makes the interpretation
+    explicit: True = Q is a (per-instance) diagonal (n,)/(B, n); False =
+    dense (n, n)/(B, n, n); None = infer from shape, erroring on the
+    ambiguous batched B == n case.  Gradients flow to all seven inputs via
     the implicit KKT backward.
     """
-    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
+    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
+                                               q_is_diag)
     return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend,
                            diag_q, gamma_rows)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
-                   gamma_rows=0) -> PdipmSolution:
+                   gamma_rows=0, q_is_diag=None) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
-    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F)
+    diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
+                                               q_is_diag)
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
-                       backend=backend,
-                       q_diag=_diag_of(Q) if diag_q else None,
+                       backend=backend, q_is_diag=diag_q,
                        gamma_rows=gamma_rows)
 
 

@@ -211,11 +211,25 @@ def _factor(K, backend):
     return lu_factor(K)
 
 
+_XLA_SOLVE_CHUNK = 1024
+
+
 def _solve(fac, rhs, backend, trans=0):
     if backend == "pallas":
         from lcp_physics_tpu.ops.linalg import plu_solve
 
         return plu_solve(fac, rhs, trans=trans)
+    B, nk = rhs.shape[0], rhs.shape[-1]
+    if B > _XLA_SOLVE_CHUNK and B % _XLA_SOLVE_CHUNK == 0 and nk >= 88:
+        # XLA's batched lu_solve allocates a scoped VMEM buffer that scales
+        # with the batch and OOMs around B=4096, nk>=88 (PERF.md); chunk
+        # the triangular solves so the 'xla' fallback stays usable.
+        T = B // _XLA_SOLVE_CHUNK
+        chop = lambda x: x.reshape((T, _XLA_SOLVE_CHUNK) + x.shape[1:])
+        out = jax.lax.map(
+            lambda a: lu_solve((a[0], a[1]), a[2], trans=trans),
+            (chop(fac[0]), chop(fac[1]), chop(rhs)))
+        return out.reshape((B, nk))
     return lu_solve(fac, rhs, trans=trans)
 
 
@@ -252,10 +266,9 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1, initial=jnp.inf))
 
 
-def _expand_batch(*arrays):
+def _expand_batch(arrays, base_rank=(2, 1, 2, 1, 2, 1, 2)):
     """Promote single-instance inputs to batch-of-1; report whether any
     input was already batched."""
-    base_rank = (2, 1, 2, 1, 2, 1, 2)
     batched = any(a.ndim == r + 1 for a, r in zip(arrays, base_rank))
     out = []
     B = max((a.shape[0] for a, r in zip(arrays, base_rank)
@@ -299,23 +312,40 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
-                gamma_rows=0):
+                gamma_rows=0, q_is_diag=None):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
-    ``q_diag`` (B, n): when Q is diagonal (the physics mass matrix), pass
-    its diagonal to enable the Schur fast path (see make_kkt_factor).
+    Q may be passed in DIAGONAL form (shape matching p) — it is then never
+    expanded to a dense matrix.  ``q_is_diag`` makes the interpretation
+    explicit (None infers from shape).  ``q_diag`` (B, n): alternatively,
+    pass a dense Q plus its diagonal to enable the Schur fast path
+    (see make_kkt_factor) while keeping dense residual semantics.
 
     Returns a :class:`PdipmSolution`.
     """
+    # Q may arrive in DIAGONAL form (shape == p.shape): the physics mass
+    # matrix.  It is then never expanded to (B, n, n) — the Schur path
+    # only needs its shape/dtype and the residuals use an elementwise
+    # multiply.  This removes an O(B n^2) tensor + one dense matvec per
+    # IPM iteration from the hot path.
+    if q_is_diag is None:
+        diag_form = Q.shape == p.shape or (Q.ndim == 1 and p.ndim == 2
+                                           and Q.shape[0] == p.shape[-1])
+    else:
+        diag_form = bool(q_is_diag)
+    q_rank = 1 if diag_form else 2
     single, (Q, p, G, h, A, b, F) = (lambda t: (not t[0], t[1]))(
-        _expand_batch(Q, p, G, h, A, b, F))
-    B, n = Q.shape[0], Q.shape[-1]
+        _expand_batch((Q, p, G, h, A, b, F),
+                      (q_rank, 1, 2, 1, 2, 1, 2)))
+    B, n = p.shape[0], p.shape[-1]
     m = G.shape[-2]
     q = A.shape[-2]
     dt = Q.dtype
     consts = _dtype_consts(dt)
     reg = consts["reg"]
+    if diag_form and q_diag is None:
+        q_diag = Q
     # NOTE: backend stays unresolved here; make_kkt_factor / solve_eq_kkt
     # resolve 'auto' against the size of the system they actually factor
     # (the Schur/gamma-reduced size, not the dense KKT size).
@@ -327,8 +357,11 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
             sol = jax.tree.map(lambda x: x[0], sol)
         return sol
 
+    def q_dense():
+        return (Q[..., None] * jnp.eye(n, dtype=dt)) if diag_form else Q
+
     if m == 0:
-        z, nu = solve_eq_kkt(Q, p, A, b, reg, backend)
+        z, nu = solve_eq_kkt(q_dense(), p, A, b, reg, backend)
         zero_m = jnp.zeros((B, 0), dt)
         zero_b = jnp.zeros((B,), dt)
         return maybe_squeeze(PdipmSolution(
@@ -357,8 +390,14 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     def bmv(M, x):
         return jnp.einsum("bij,bj->bi", M, x)
 
+    def Qmv(z):
+        # q_diag covers both the diagonal-form input and callers that pass
+        # dense Q alongside its diagonal; the elementwise product replaces
+        # an O(n^2) matvec per iteration.
+        return q_diag * z if q_diag is not None else bmv(Q, z)
+
     def kkt_residuals(z, s, lam, nu):
-        rx = bmv(Q, z) + p + bmv(GT, lam) + bmv(AT, nu)
+        rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
         rz = bmv(G, z) + bmv(F, lam) + s - h
         ry = bmv(A, z) - b
         return rx, rz, ry

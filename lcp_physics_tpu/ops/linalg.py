@@ -111,114 +111,115 @@ def _lu_kernel(K_ref, out_ref):
 # sequential VPU work but all the O(n^3) flops live in 128-wide GEMMs.
 # ---------------------------------------------------------------------------
 
-def _blocked_lu_kernel(W4, K_ref, out_ref, binv_ref, aug_ref):
-    """Blocked factorization with FULL diagonal-block inverses.
+def _gj_inv_kernel(aug_ref, out_ref):
+    """Gauss-Jordan inversion of 128x128 blocks over a tile of L worlds.
 
-    Variant of block LU suited to the TPU: for each 128-wide panel the
-    diagonal block K_tt is inverted by Gauss-Jordan (one 128-step VPU loop
-    on an augmented (W4, P, 2P) tile — no separate panel scaling or
-    triangular inversions), then the U row block Binv_t K[t, t+1:] and the
-    MXU trailing update.  ``W4`` worlds share each grid cell so the
-    sequential GJ loop's per-step overhead amortizes across them.
-
-        K = Lhat Uhat,  Lhat[t, s<t] = out[t, s] (unscaled),
-        Lhat[t, t] = K_tt (implicitly; inverse stored in binv),
-        Uhat[t, s>t] = out[t, s],  Uhat[t, t] = I.
-
-    Solves become pure block substitution with batched matmuls and a
-    single inverse per diagonal block (see _blocked_solve).
+    aug_ref: (L, P, 2P) augmented [K | I] tiles — the worlds live on the
+    OUTER dim (Mosaic requires the lane dim be 128-divisible, so the 2P
+    columns are the lanes); each of the P elimination steps is one fused
+    vector op over the whole (L, P, 2P) tile.  In/out aliased: the right
+    half of the output holds the inverses.
     """
-    n = out_ref.shape[-1]
-    out_ref[...] = K_ref[...]
-    T = n // PANEL
-    i_blk = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL, 1), 1)
-    j_aug = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * PANEL), 2)
+    L, P = aug_ref.shape[0], aug_ref.shape[1]
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * P), 2)
+    out_ref[...] = aug_ref[...]
 
-    for t in range(T):  # static unroll
-        o = t * PANEL
-        # Gauss-Jordan on [K_tt | I] for all W4 worlds at once.  Mosaic
-        # forbids unaligned dynamic VMEM indexing, so pivot rows/columns
-        # are masked reductions.
-        aug_ref[:, :, :PANEL] = out_ref[:, o:o + PANEL, o:o + PANEL]
-        aug_ref[:, :, PANEL:] = jnp.broadcast_to(
-            jnp.eye(PANEL, dtype=out_ref.dtype), (W4, PANEL, PANEL))
+    def gj(k, _):
+        # Dynamic LANE-dim indexing must be 128-aligned on TPU; the pivot
+        # element and column are therefore masked reductions over lanes.
+        aug = out_ref[...]
+        row_k = out_ref[:, pl.ds(k, 1), :]                 # (L, 1, 2P)
+        sel_j = j_ids == k
+        piv = jnp.sum(jnp.where(sel_j, row_k, 0.0), axis=2,
+                      keepdims=True)                       # (L, 1, 1)
+        row = row_k * _safe_inv(piv)
+        col = jnp.sum(jnp.where(sel_j, aug, 0.0), axis=2,
+                      keepdims=True)                       # (L, P, 1)
+        elim = aug - col * row
+        out_ref[...] = jnp.where(i_ids == k, row, elim)
+        return 0
 
-        def gj(k, _):
-            aug = aug_ref[...]
-            sel_i = (i_blk == k).astype(aug.dtype)           # (1, P, 1)
-            sel_j = (j_aug == k).astype(aug.dtype)           # (1, 1, 2P)
-            row = jnp.sum(aug * sel_i, axis=1, keepdims=True)   # (W4,1,2P)
-            piv = jnp.sum(row * sel_j, axis=2, keepdims=True)   # (W4,1,1)
-            rown = row * _safe_inv(piv)
-            col = jnp.sum(aug * sel_j, axis=2, keepdims=True)   # (W4,P,1)
-            elim = aug - col * rown
-            aug_ref[...] = jnp.where(i_blk == k, rown, elim)
-            return 0
-
-        jax.lax.fori_loop(0, PANEL, gj, 0)
-        binv_ref[:, t] = aug_ref[:, :, PANEL:]
-
-        if o + PANEL >= n:
-            break
-
-        # U row block + MXU trailing update (lower blocks stay unscaled);
-        # static per-world loop — small matmuls per cell.
-        for w in range(W4):
-            ublk = jnp.dot(aug_ref[w, :, PANEL:],
-                           out_ref[w, o:o + PANEL, o + PANEL:],
-                           preferred_element_type=jnp.float32)
-            out_ref[w, o:o + PANEL, o + PANEL:] = ublk
-            lblk = out_ref[w, o + PANEL:, o:o + PANEL]
-            out_ref[w, o + PANEL:, o + PANEL:] = (
-                out_ref[w, o + PANEL:, o + PANEL:]
-                - jnp.dot(lblk, ublk, preferred_element_type=jnp.float32))
+    jax.lax.fori_loop(0, P, gj, 0)
 
 
-def _world_tile(n_pad):
-    """Worlds per grid cell under the VMEM budget (in+out double-buffered
-    K tiles plus the augmented GJ scratch must stay well under 16 MB)."""
-    per_world = n_pad * n_pad * 4 * 4  # K in+out, double-buffered
-    budget = 12 * 1024 * 1024
-    return max(1, min(8, budget // max(per_world, 1)))
+def _gj_tile(dtype):
+    # aug (L, P, 2P) tiles are staged in+out double-buffered (4 copies
+    # despite the alias) — keep 4 * tile <= 12 MB of the 16 MB VMEM.
+    return 24 if dtype == jnp.float32 else 12
+
+
+def _gj_inverse(Ktt):
+    """Batched inverse of (B, P, P) diagonal blocks via the tiled
+    Gauss-Jordan kernel (pivotless — quasi-definite blocks)."""
+    B, P = Ktt.shape[0], Ktt.shape[-1]
+    dt = Ktt.dtype
+    L = _gj_tile(dt)
+    B_pad = _ru(max(B, 1), L)
+    if B_pad > B:
+        pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
+        Ktt = jnp.concatenate([Ktt, pad], axis=0)
+    eye = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad, P, P))
+    aug = jnp.concatenate([Ktt, eye], axis=-1)            # (B_pad, P, 2P)
+
+    out = pl.pallas_call(
+        _gj_inv_kernel,
+        grid=(B_pad // L,),
+        in_specs=[pl.BlockSpec((L, P, 2 * P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L, P, 2 * P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, P, 2 * P), dt),
+        input_output_aliases={0: 0},
+        interpret=_interpret(),
+    )(aug)
+    return out[:B, :, P:]                                  # (B, P, P)
 
 
 def _blocked_lu(K):
-    """Blocked factorization: K (B, n, n) -> (lu, binv) with binv the
-    (B, T, P, P) Gauss-Jordan inverses of the diagonal blocks."""
+    """Blocked right-looking factorization with FULL diagonal-block
+    inverses: K (B, n, n) -> (lu, binv), binv (B, T, P, P).
+
+        K = Lhat Uhat,  Lhat[t, s<t] = lu[t, s] (unscaled),
+        Lhat[t, t] = K_tt (implicitly; inverse stored in binv),
+        Uhat[t, s>t] = lu[t, s],  Uhat[t, t] = I.
+
+    The panel loop runs at the XLA level: the only sequential-VPU work is
+    the lane-batched Gauss-Jordan block inversion (``_gj_inverse``); the
+    U row blocks and trailing updates are plain batched matmuls that XLA
+    tiles onto the MXU.  (Round 1 ran the whole factorization inside one
+    per-world Pallas kernel; its in-kernel GJ loop could only amortize
+    over the few worlds that fit VMEM and dominated the 64-body step —
+    this layout runs the same math ~4x faster and the solve format is
+    unchanged.)
+    """
     B, n = K.shape[0], K.shape[-1]
     dt = K.dtype
     n_pad = _ru(n, PANEL)
-    W4 = _world_tile(n_pad)
-    B_pad = _ru(max(B, 1), W4)
-    Kp = jnp.zeros((B_pad, n_pad, n_pad), dt)
-    Kp = Kp.at[:B, :n, :n].set(K)
-    idx = jnp.arange(n_pad)
-    if n_pad > n:
-        Kp = Kp.at[:, idx[n:], idx[n:]].set(1.0)
-    if B_pad > B:
-        Kp = Kp.at[B:, idx, idx].set(1.0)
-
     T = n_pad // PANEL
-    lu, binv = pl.pallas_call(
-        partial(_blocked_lu_kernel, W4),
-        grid=(B_pad // W4,),
-        in_specs=[pl.BlockSpec((W4, n_pad, n_pad), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((W4, n_pad, n_pad), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W4, T, PANEL, PANEL), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B_pad, n_pad, n_pad), dt),
-            jax.ShapeDtypeStruct((B_pad, T, PANEL, PANEL), dt),
-        ),
-        scratch_shapes=[pltpu.VMEM((W4, PANEL, 2 * PANEL), dt)],
-        input_output_aliases={0: 0},
-        interpret=_interpret(),
-    )(Kp)
-    return lu[:B], binv[:B]
+    lu = jnp.zeros((B, n_pad, n_pad), dt).at[:, :n, :n].set(K)
+    if n_pad > n:
+        idx = jnp.arange(n, n_pad)
+        lu = lu.at[:, idx, idx].set(1.0)
+
+    binvs = []
+    for t in range(T):
+        o = t * PANEL
+        binv_t = _gj_inverse(lu[:, o:o + PANEL, o:o + PANEL])
+        binvs.append(binv_t)
+        if o + PANEL >= n_pad:
+            break
+        # Accumulate in the input dtype (f64 runs stay f64; ADVICE r1).
+        ublk = jnp.einsum("bij,bjk->bik", binv_t,
+                          lu[:, o:o + PANEL, o + PANEL:],
+                          preferred_element_type=dt)
+        trail = lu[:, o + PANEL:, o + PANEL:] - jnp.einsum(
+            "bij,bjk->bik", lu[:, o + PANEL:, o:o + PANEL], ublk,
+            preferred_element_type=dt)
+        lu = lu.at[:, o:o + PANEL, o + PANEL:].set(ublk)
+        lu = lu.at[:, o + PANEL:, o + PANEL:].set(trail)
+    binv = jnp.stack(binvs, axis=1)                       # (B, T, P, P)
+    return lu, binv
 
 
 def _blocked_solve(fac2, r, n, trans=0):

@@ -86,3 +86,20 @@ def test_blocked_lu_matches_dense():
     xt_ref = jnp.linalg.solve(jnp.swapaxes(K, -1, -2), r[..., None])[..., 0]
     np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_blocked_lu_f64_precision():
+    """f64 inputs keep f64 accumulation through the blocked path (ADVICE
+    r1: preferred_element_type was hardcoded to f32, silently downcasting
+    CPU x64 parity runs)."""
+    rng = np.random.default_rng(4)
+    B, n, m = 1, 80, 60
+    K = jnp.asarray(np.asarray(kkt_like_batch(B, n, m, rng)), jnp.float64)
+    r = jnp.asarray(rng.standard_normal((B, n + m)))
+    fac = plu_factor(K)
+    assert fac[0] == "blocked" and fac[1][0].dtype == jnp.float64
+    x = plu_solve(fac, r)
+    x_ref = jnp.linalg.solve(K, r[..., None])[..., 0]
+    # f64 accumulation: residual far below anything f32 could reach
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=1e-9, atol=1e-9)
