@@ -145,12 +145,14 @@ def _halfplane_interval(g0, gd):
     return lo, hi
 
 
-def hull_hull(wva, ca, pos_a, wvb, cb, pos_b):
+def hull_hull(wva, ca, pos_a, wvb, cb, pos_b, margin=0.0):
     """One hull-hull pair via SAT + reference/incident face clipping.
 
     Returns (normal (2,), ra (2, 2), rb (2, 2), depth (2,), point_valid (2,))
     — up to two contact points sharing one normal (the reference's
-    DiffContactHandler emits the same <=2-point manifolds)."""
+    DiffContactHandler emits the same <=2-point manifolds).  ``margin`` > 0
+    also emits near-contact (speculative) points with negative depth down
+    to ``-margin`` — the predictive-contact activation band."""
     _, ea, elen_a, na, eva = _edge_data(wva, ca)
     _, eb, elen_b, nb, evb = _edge_data(wvb, cb)
 
@@ -202,7 +204,7 @@ def hull_hull(wva, ca, pos_a, wvb, cb, pos_b):
 
     pts = inc_v1[None, :] + jnp.stack([t0, t1])[:, None] * D[None, :]
     pen = -jnp.einsum("pd,d->p", pts - ref_v1[None, :], ref_n)
-    pt_valid = seg_ok & (pen > 0)
+    pt_valid = seg_ok & (pen > -margin)
 
     # Surface points: clipped point lies on the incident hull; project onto
     # the reference face for the reference hull.
@@ -215,9 +217,9 @@ def hull_hull(wva, ca, pos_a, wvb, cb, pos_b):
     ra = pts_a - pos_a[None, :]
     rb = pts_b - pos_b[None, :]
     depth = pen
-    # A separated pair (sep > 0) produces no points even if clipping found
-    # interval overlap.
-    pt_valid = pt_valid & (sep <= 0)
+    # A pair separated beyond the margin produces no points even if
+    # clipping found interval overlap.
+    pt_valid = pt_valid & (sep <= margin)
     return normal, ra, rb, depth, pt_valid
 
 
@@ -274,13 +276,16 @@ def split_pairs_by_kind(counts, allowed=None):
     return pairs
 
 
-def find_contacts(p, verts, radius, counts, pairs, c_max):
+def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None):
     """Full collision pipeline for one world.
 
     p (N, 3) [rot, x, y]; verts (N, V, 2) local; radius (N,);
     counts: host numpy (N,) static vertex counts;
     pairs: output of :func:`split_pairs_by_kind` (static);
-    c_max: static contact capacity of the output buffer.
+    c_max: static contact capacity of the output buffer;
+    margin: optional per-body (N,) speculative-activation band — a pair is
+    emitted while separated by up to ``margin[a] + margin[b]`` (negative
+    depth).  None keeps the strict overlap-only behavior (depth > 0).
 
     Returns a :class:`Contacts` buffer with exactly ``c_max`` slots, deepest
     contacts first, invalid slots masked.
@@ -290,6 +295,13 @@ def find_contacts(p, verts, radius, counts, pairs, c_max):
     wv = world_vertices(verts, p)
     counts_j = jnp.asarray(np.asarray(counts))
     boxes = aabbs(p, verts, radius, counts_j)
+    if margin is not None:
+        boxes = boxes + jnp.stack([-margin, margin], axis=1)[:, :, None]
+
+    def pair_margin(ia, ib):
+        if margin is None:
+            return 0.0
+        return margin[jnp.asarray(ia)] + margin[jnp.asarray(ib)]
 
     outs = []  # tuples of (normal, ra, rb, depth, ia, ib, valid), flat lists
 
@@ -298,7 +310,7 @@ def find_contacts(p, verts, radius, counts, pairs, c_max):
         n, ra, rb, d = jax.vmap(
             lambda i, j: circle_circle(pos[i], radius[i], pos[j], radius[j])
         )(cc_i, cc_j)
-        ok = aabb_overlap(boxes, cc_i, cc_j) & (d > 0)
+        ok = aabb_overlap(boxes, cc_i, cc_j) & (d > -pair_margin(cc_i, cc_j))
         outs.append((n, ra, rb, d, jnp.asarray(cc_i, jnp.int32),
                      jnp.asarray(cc_j, jnp.int32), ok))
 
@@ -308,17 +320,19 @@ def find_contacts(p, verts, radius, counts, pairs, c_max):
             lambda i, j: circle_hull(pos[i], radius[i], wv[j], counts_j[j])
         )(ch_i, ch_j)
         r_h = cp_hull - pos[jnp.asarray(ch_j)]
-        ok = aabb_overlap(boxes, ch_i, ch_j) & (d > 0)
+        ok = aabb_overlap(boxes, ch_i, ch_j) & (d > -pair_margin(ch_i, ch_j))
         # normal from hull->circle == from b->a with a=circle. ✓
         outs.append((n, r_c, r_h, d, jnp.asarray(ch_i, jnp.int32),
                      jnp.asarray(ch_j, jnp.int32), ok))
 
     hh_i, hh_j = pairs["hh"]
     if len(hh_i):
+        hh_m = (pair_margin(hh_i, hh_j) if margin is not None
+                else jnp.zeros((len(hh_i),), dt))
         n, ra2, rb2, d2, v2 = jax.vmap(
-            lambda i, j: hull_hull(wv[i], counts_j[i], pos[i],
-                                   wv[j], counts_j[j], pos[j])
-        )(hh_i, hh_j)
+            lambda i, j, m: hull_hull(wv[i], counts_j[i], pos[i],
+                                      wv[j], counts_j[j], pos[j], m)
+        )(hh_i, hh_j, hh_m)
         ok = aabb_overlap(boxes, hh_i, hh_j)
         P = len(hh_i)
         # Flatten the 2-point manifolds into single-contact rows sharing n.

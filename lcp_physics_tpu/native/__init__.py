@@ -18,27 +18,48 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
                     "broadphase.cpp")
-_LIB_CACHE = os.path.join(tempfile.gettempdir(),
-                          "lcp_physics_tpu_broadphase.so")
+
+
+def _lib_cache_path():
+    """Per-user 0700 cache dir for the compiled .so.  A fixed path in the
+    world-writable temp dir would let another local user pre-plant a
+    malicious library (ADVICE r1, medium)."""
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "lcp_physics_tpu")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    try:
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise PermissionError(
+                f"refusing to use cache dir {d}: not owned by the current "
+                "user or writable by others")
+    except AttributeError:  # non-POSIX: skip ownership check
+        pass
+    return os.path.join(d, "broadphase.so")
+
+
+_LIB_CACHE = None  # resolved lazily in _build_and_load
 
 _lib = None
 NATIVE_AVAILABLE = False
 
 
 def _build_and_load():
-    global _lib, NATIVE_AVAILABLE
+    global _lib, NATIVE_AVAILABLE, _LIB_CACHE
     if _lib is not None:
         return _lib
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         return None
     try:
+        if _LIB_CACHE is None:
+            _LIB_CACHE = _lib_cache_path()
         if (not os.path.exists(_LIB_CACHE)
                 or os.path.getmtime(_LIB_CACHE) < os.path.getmtime(src)):
             subprocess.run(

@@ -30,7 +30,6 @@ __all__ = [
     "run_world",
 ]
 
-# Late-bind the reference's Defaults.ENGINE / Defaults.CONTACT knobs now
-# that the classes exist (they are None before this package imports).
-Defaults.ENGINE = PdipmEngine
-Defaults.CONTACT = DiffContactHandler
+# Defaults.ENGINE / Defaults.CONTACT are lazy class properties on Defaults
+# (utils._DefaultsMeta) resolving to PdipmEngine / DiffContactHandler —
+# populated even if this package has not been imported yet.

@@ -30,6 +30,30 @@ class Constraint:
     def spec(self, index_of) -> JointSpec:
         raise NotImplementedError
 
+    def J(self):
+        """Per-body Jacobian blocks at the bodies' CURRENT poses.
+
+        Reference parity (``physics/constraints.py``: each constraint
+        object exposes ``J()``): returns ``(J1, J2)`` with ``Ji`` of shape
+        (rows, 3) over [omega, vx, vy]; ``J2`` is None for world-anchored
+        constraints.  Host-side convenience only — the jitted step
+        assembles the same rows in ``core/jacobians.py::assemble_Je``
+        (which this slices, so the two can never drift apart)."""
+        from lcp_physics_tpu.core.jacobians import assemble_Je
+        from lcp_physics_tpu.core.state import make_scene_static
+
+        body2 = getattr(self, "body2", None)
+        bodies = [self.body1] + ([body2] if body2 is not None else [])
+        index_of = {b: i for i, b in enumerate(bodies)}
+        static = make_scene_static([1] * len(bodies),
+                                   joints=(self.spec(index_of),), c_max=0)
+        p = jnp.stack([jnp.asarray(b.p, jnp.result_type(float))
+                       for b in bodies])
+        Je = assemble_Je(static, p)
+        J1 = Je[:, 0:3]
+        J2 = Je[:, 3:6] if body2 is not None else None
+        return J1, J2
+
     def draw(self, screen, pixels_per_meter=1):
         pass
 

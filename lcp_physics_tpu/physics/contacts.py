@@ -25,7 +25,7 @@ from lcp_physics_tpu.core.geometry import find_contacts
 class ContactHandler:
     diff = True
 
-    def find(self, p, verts, radius, counts, pairs, c_max):
+    def find(self, p, verts, radius, counts, pairs, c_max, margin=None):
         raise NotImplementedError
 
 
@@ -35,8 +35,9 @@ class DiffContactHandler(ContactHandler):
 
     diff = True
 
-    def find(self, p, verts, radius, counts, pairs, c_max):
-        return find_contacts(p, verts, radius, counts, pairs, c_max)
+    def find(self, p, verts, radius, counts, pairs, c_max, margin=None):
+        return find_contacts(p, verts, radius, counts, pairs, c_max,
+                             margin=margin)
 
 
 class OdeContactHandler(ContactHandler):
@@ -45,6 +46,7 @@ class OdeContactHandler(ContactHandler):
 
     diff = False
 
-    def find(self, p, verts, radius, counts, pairs, c_max):
-        cts = find_contacts(p, verts, radius, counts, pairs, c_max)
+    def find(self, p, verts, radius, counts, pairs, c_max, margin=None):
+        cts = find_contacts(p, verts, radius, counts, pairs, c_max,
+                            margin=margin)
         return jax.tree.map(jax.lax.stop_gradient, cts)

@@ -42,10 +42,17 @@ class PdipmEngine(Engine):
             post_stabilization=(world.post_stab if post_stab is None
                                 else post_stab),
             stop_contact_grad=not world.contact_callback.diff,
+            strict_no_penetration=world.strict_no_penetration,
+            max_dt_halvings=getattr(world, "max_dt_halvings",
+                                    SimConfig.max_dt_halvings),
+            speculative=getattr(world, "speculative", SimConfig.speculative),
         )
 
     def compiled_step(self, world, post_stab=None):
-        key = (id(world.scene_static), self._config(world, post_stab))
+        # Key on the SceneStatic VALUE (frozen/hashable dataclass) + config.
+        # id() keys can be recycled after GC and would silently reuse a
+        # stale executable for a different scene (ADVICE r1, medium).
+        key = (world.scene_static, self._config(world, post_stab))
         if key not in self._cache:
             step = make_step(world.scene_static,
                              self._config(world, post_stab))
@@ -70,6 +77,7 @@ class PdipmEngine(Engine):
         _, assemble_ps = make_assemble(static, config)
         blocks = assemble_ps(params, state.p)
         dp = lcp_solve(**blocks, max_iter=config.max_iter,
-                       tol=config.solver_eps, backend=config.lcp_backend)
+                       tol=config.solver_eps, backend=config.lcp_backend,
+                       q_is_diag=True)
         world.set_p(state.p + dp.reshape(state.p.shape))
         return world

@@ -41,22 +41,24 @@ def gravity(t):
 down_force = gravity
 
 
+def _window_activation(t, window):
+    """1.0 while t < window, else 0.0, at the working dtype (no hardcoded
+    f32 cast — an f64 parity run must stay f64 end to end)."""
+    if hasattr(t, "dtype"):
+        return (t < window).astype(jnp.result_type(t, float))
+    return float(t < window)
+
+
 def vert_impulse(t, window=0.1):
     """Downward force active only for t < window."""
-    act = (t < window).astype(jnp.float32) if hasattr(t, "dtype") else float(
-        t < window)
-    return jnp.array([0.0, 0.0, 1.0]) * act
+    return jnp.array([0.0, 0.0, 1.0]) * _window_activation(t, window)
 
 
 def hor_impulse(t, window=0.1):
     """Horizontal (+x) force active only for t < window."""
-    act = (t < window).astype(jnp.float32) if hasattr(t, "dtype") else float(
-        t < window)
-    return jnp.array([0.0, 1.0, 0.0]) * act
+    return jnp.array([0.0, 1.0, 0.0]) * _window_activation(t, window)
 
 
 def rot_impulse(t, window=0.1):
     """Pure torque active only for t < window."""
-    act = (t < window).astype(jnp.float32) if hasattr(t, "dtype") else float(
-        t < window)
-    return jnp.array([1.0, 0.0, 0.0]) * act
+    return jnp.array([1.0, 0.0, 0.0]) * _window_activation(t, window)

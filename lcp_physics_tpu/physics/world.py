@@ -41,7 +41,7 @@ class World:
                  tol=Defaults.TOL, fric_dirs=Defaults.FRIC_DIRS,
                  post_stab=Defaults.POST_STABILIZATION,
                  strict_no_penetration=True, gravity=(0.0, 0.0),
-                 c_max=None):
+                 c_max=None, max_dt_halvings=None, speculative=True):
         self.bodies = list(bodies)
         self.constraints = list(constraints)
         self.dt = float(dt)
@@ -58,6 +58,11 @@ class World:
         self.fric_dirs = int(fric_dirs)
         self.post_stab = bool(post_stab)
         self.strict_no_penetration = bool(strict_no_penetration)
+        from lcp_physics_tpu.physics.utils import SimConfig as _SC
+        self.max_dt_halvings = int(_SC.max_dt_halvings
+                                   if max_dt_halvings is None
+                                   else max_dt_halvings)
+        self.speculative = bool(speculative)
         self.gravity = tuple(float(g) for g in gravity)
         self._c_max = c_max
 
@@ -176,25 +181,49 @@ class World:
         """Advance by ``self.dt``.
 
         fixed_dt=False (reference default): take one solver step of size
-        ``dt``; on deep new penetration (> tol) retry with dt/2, dt/4, ...
-        and advance time by the accepted (possibly smaller) step.
-        fixed_dt=True: keep sub-stepping until a full ``dt`` of simulated
-        time has been covered, preserving the no-penetration guarantee.
+        ``dt``; if the step CREATES new penetration deeper than ``tol``
+        (measured at the post-step positions, reference ``World.step``'s
+        restore-and-retry; SURVEY §3.1), retry with dt/2, dt/4, ... up to
+        ``max_dt_halvings`` times and advance time by the accepted
+        (possibly smaller) step.  Sustained contact whose depth does not
+        grow never triggers a retry.  fixed_dt=True: keep sub-stepping
+        until a full ``dt`` of simulated time has been covered.
         """
+        import warnings
+
         target = self.dt
         advanced = 0.0
         step_fn = self.engine.compiled_step(self)
+        cfg = self.engine._config(self)
+        tol = self.tol
         while True:
             dt_try = target - advanced
             state = self.world_state
-            for attempt in range(6):  # bounded dt-halving (SURVEY §3.1)
-                dt_used = dt_try
-                new_state, diag = step_fn(self.scene_params, state, dt_try)
-                if (not self.strict_no_penetration
-                        or float(diag.max_penetration) <= self.tol
-                        or dt_try < 1e-6 * target):
+            params = self.scene_params
+            best = None  # (new_penetration, new_state, dt_used)
+            ok = False
+            for _ in range(cfg.max_dt_halvings + 1):
+                new_state, diag = step_fn(params, state, dt_try)
+                post = float(diag.max_penetration)
+                new_pen = post - float(diag.pre_penetration)
+                if best is None or post < best[0]:
+                    best = (post, new_state, dt_try)
+                ok = (not cfg.strict_no_penetration or post <= tol
+                      or new_pen <= tol)
+                if ok:
+                    best = (post, new_state, dt_try)
                     break
                 dt_try = dt_try / 2.0
+            if not ok:
+                # Budget exhausted with the step still creating fresh
+                # penetration: accept the shallowest sub-step but say so
+                # (ADVICE r1: silent acceptance violated the documented
+                # strict guarantee).  Fixed message -> warning dedup.
+                warnings.warn(
+                    "strict_no_penetration: dt-halving budget exhausted; "
+                    "accepting the smallest-penetration sub-step",
+                    RuntimeWarning, stacklevel=2)
+            _, new_state, dt_used = best
             self._state = new_state
             self._state_dirty = False
             advanced += dt_used
@@ -250,11 +279,21 @@ class World:
 
     def find_collisions(self):
         """Refresh ``self.collisions`` in the reference's format:
-        a list of ((normal, p1, p2, penetration), b1_idx, b2_idx)."""
+        a list of ((normal, p1, p2, penetration), b1_idx, b2_idx).
+
+        With ``speculative=True`` this lists the contacts the engine
+        currently sees, i.e. including near-contacts inside the one-step
+        motion margin (a resting body reports its support contact even
+        when the gap is exactly zero)."""
+        from lcp_physics_tpu.core.step import motion_margins
+
         static, params, state = self.functional()
+        margin = (motion_margins(params, state, self.dt,
+                                 static.counts_np(), self.tol)
+                  if self.speculative else None)
         cts = self.contact_callback.find(
             state.p, params.verts, params.radius, static.counts_np(),
-            static.pair_lists(), static.c_max)
+            static.pair_lists(), static.c_max, margin=margin)
         collisions = []
         valid = np.asarray(cts.valid)
         for k in np.nonzero(valid)[0]:

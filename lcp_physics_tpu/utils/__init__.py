@@ -26,7 +26,21 @@ class Indices:
     Y = 2
 
 
-class Defaults:
+class _DefaultsMeta(type):
+    # ENGINE/CONTACT resolve lazily: utils is imported by the physics
+    # package, so binding the classes eagerly would be an import cycle.
+    @property
+    def ENGINE(cls):
+        from lcp_physics_tpu.physics.engines import PdipmEngine
+        return PdipmEngine
+
+    @property
+    def CONTACT(cls):
+        from lcp_physics_tpu.physics.contacts import DiffContactHandler
+        return DiffContactHandler
+
+
+class Defaults(metaclass=_DefaultsMeta):
     """Default simulation constants.
 
     Mirrors the knob set of the reference ``Defaults`` (DT, EPSILON, TOL,
@@ -46,10 +60,9 @@ class Defaults:
     FRIC_COEFF = 0.9
     RESTITUTION = 0.5
     POST_STABILIZATION = False
-    # Engine/contact callables are resolved lazily to avoid import cycles;
-    # see physics.engines.PdipmEngine / physics.contacts.DiffContactHandler.
-    ENGINE = None
-    CONTACT = None
+    # ENGINE / CONTACT are lazy class properties (see _DefaultsMeta):
+    # Defaults.ENGINE is PdipmEngine, Defaults.CONTACT is DiffContactHandler
+    # — the reference's documented default knobs (SURVEY.md §5.6).
 
     # Numerics: float64 for reference-parity runs on CPU (requires
     # jax_enable_x64), float32 for TPU production runs.
@@ -73,12 +86,24 @@ class SimConfig:
     post_stabilization: bool = Defaults.POST_STABILIZATION
     strict_no_penetration: bool = True
     max_dt_halvings: int = 6
+    # Predictive contact activation: emit contact rows while bodies are
+    # still separated by up to one step of travel (per-body motion bound),
+    # with the normal-row target either resolving the impact at the surface
+    # or capping approach at gap/dt.  Prevents the v*dt impact penetration
+    # a strictly overlap-activated velocity-level LCP cannot avoid.
+    # False reproduces the overlap-only reference-style activation.
+    speculative: bool = True
     # Block gradients through contact geometry (reference OdeContactHandler
     # semantics: contacts from the ODE C library carry no gradients).
     stop_contact_grad: bool = False
     # KKT factorization backend: 'auto' (pallas on TPU, xla elsewhere),
     # 'xla' (batched pivoted LU), or 'pallas' (lane-batched pivotless LU).
     lcp_backend: str = "auto"
+    # Segment the batched step over world tiles of this size (lax.map):
+    # peak HBM scales with the tile instead of the full batch, which is
+    # what lets a single chip run the 4096 x 64-body stretch config.
+    # 0 = one fused batch (fastest while it fits).
+    batch_tile: int = 0
 
 
 def get_tensor(x, dtype=None):

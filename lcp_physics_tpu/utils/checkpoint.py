@@ -26,9 +26,24 @@ def save_pytree(path, tree):
 
 def load_pytree(path, like):
     """Load a PyTree saved by :func:`save_pytree` into the structure (and
-    dtypes/shardings) of ``like``."""
+    dtypes/shardings) of ``like``.
+
+    The stored treedef repr is validated against ``like`` — loading a
+    checkpoint into a structurally different tree would silently scatter
+    leaves into the wrong fields (ADVICE r1)."""
     data = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
+    if "__treedef__" in data:
+        stored = bytes(data["__treedef__"]).decode()
+        if stored != repr(treedef):
+            raise ValueError(
+                "checkpoint treedef mismatch:\n"
+                f"  stored: {stored}\n  target: {treedef!r}")
+    n_stored = sum(1 for k in data.files if k.endswith(_SUFFIX))
+    if n_stored != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {n_stored} leaves, target structure has "
+            f"{len(leaves_like)}")
     leaves = []
     for i, ref in enumerate(leaves_like):
         arr = data[f"{i}{_SUFFIX}"]

@@ -55,7 +55,7 @@ def solver_stats(static, config, params, state, dt=1e-2):
             params, state, dt)
     return lcp_solve_full(**blocks, max_iter=config.max_iter,
                           tol=config.solver_eps,
-                          backend=config.lcp_backend)
+                          backend=config.lcp_backend, q_is_diag=True)
 
 
 def finite_mask(state):

@@ -124,3 +124,59 @@ def test_lcp_batch_util():
     assert z.shape == (B, n)
     z0 = pdipm_solve(Q, p[0], G, h, A, b, F, max_iter=25, tol=1e-10).z
     np.testing.assert_allclose(z[0], z0, atol=1e-8)
+
+
+def test_checkpoint_treedef_mismatch_raises():
+    """Loading into a structurally different tree errors instead of
+    scattering leaves by index (ADVICE r1)."""
+    import pytest
+    from lcp_physics_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    import tempfile, os
+    tree = {"a": jnp.ones((2,)), "b": (jnp.zeros((3,)), jnp.ones(()))}
+    other = {"a": jnp.ones((2,)), "c": jnp.zeros((3,))}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        save_pytree(path, tree)
+        back = load_pytree(path, tree)
+        np.testing.assert_allclose(back["b"][0], tree["b"][0])
+        with pytest.raises(ValueError, match="treedef mismatch|leaves"):
+            load_pytree(path, other)
+
+
+def test_defaults_engine_contact_populated():
+    """Defaults.ENGINE / Defaults.CONTACT carry the reference's documented
+    default classes (lazy to avoid import cycles)."""
+    from lcp_physics_tpu.physics import Defaults
+    from lcp_physics_tpu.physics.contacts import DiffContactHandler
+    from lcp_physics_tpu.physics.engines import PdipmEngine
+
+    assert Defaults.ENGINE is PdipmEngine
+    assert Defaults.CONTACT is DiffContactHandler
+
+
+def test_impulse_forces_keep_working_dtype():
+    """No hardcoded f32 cast in the impulse activations (ADVICE r1)."""
+    from lcp_physics_tpu.physics import hor_impulse
+    t = jnp.asarray(0.05, jnp.float64)
+    out = hor_impulse(t)
+    assert out.dtype == jnp.float64
+
+
+def test_constraint_J_matches_assembled_rows():
+    """Host-side constraint.J() blocks equal the corresponding rows of the
+    world's assembled Je (reference per-constraint J() parity)."""
+    from lcp_physics_tpu.physics import Circle, Joint, World, XConstraint
+
+    b1 = Circle([10.0, 0.0], rad=0.5)
+    b2 = Circle([20.0, 0.0], rad=0.5)
+    j = Joint(b1, b2, [15.0, 0.0])
+    xc = XConstraint(b1)
+    w = World([b1, b2], [j, xc])
+    Je = np.asarray(w.Je())
+    J1, J2 = j.J()
+    np.testing.assert_allclose(np.asarray(J1), Je[0:2, 0:3], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J2), Je[0:2, 3:6], atol=1e-12)
+    Jx, Jx2 = xc.J()
+    assert Jx2 is None
+    np.testing.assert_allclose(np.asarray(Jx), Je[2:3, 0:3], atol=1e-12)

@@ -259,3 +259,81 @@ def test_gradient_wrt_restitution():
     fd = (apex(0.6 + eps) - apex(0.6 - eps)) / (2 * eps)
     assert abs(float(g)) > 1e-3
     np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+
+def test_batched_step_B_equals_3N():
+    """Regression (ADVICE r1, high): with B == 3N the stacked (B, 3N) mass
+    diagonal used to be shape-sniffed as a shared dense Q, producing garbage
+    dynamics.  The explicit q_is_diag flag makes every batch size agree with
+    the single-world step."""
+    from lcp_physics_tpu.core import make_step_batched
+    import jax.tree_util as jtu
+
+    static, params = circle_world(2, gravity=(0.0, G))
+    step = make_step(static)
+    s0 = WorldState(p=jnp.array([[0., 0., 0.], [0., 5., 0.]]),
+                    v=jnp.array([[0., 0.1, 0.], [0., -0.1, 0.]]),
+                    t=jnp.zeros(()))
+    ref, _ = jax.jit(step)(params, s0, DT)
+    for B in (5, 6, 7):  # 6 == 3 * n_bodies is the poison case
+        states = jtu.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), s0)
+        bstep = jax.jit(make_step_batched(static))
+        out, _ = bstep(params, states, DT)
+        np.testing.assert_allclose(np.asarray(out.v), 
+                                   np.broadcast_to(np.asarray(ref.v), 
+                                                   (B, 2, 3)),
+                                   atol=1e-8, err_msg=f"B={B}")
+
+
+def test_lcp_solve_ambiguous_q_raises():
+    """Batched (B, n) Q with B == n must be rejected unless q_is_diag is
+    given explicitly."""
+    import pytest
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    n = 3
+    Q = jnp.broadcast_to(jnp.ones((n,)), (n, n))  # ambiguous (B=n, n)
+    p = jnp.zeros((n, n))
+    Gm = -jnp.eye(n)[None].repeat(n, 0)
+    h = jnp.ones((n, n))
+    with pytest.raises(ValueError, match="ambiguous"):
+        lcp_solve(Q, p, Gm, h)
+    # explicit flags both work
+    z_diag = lcp_solve(Q, p, Gm, h, q_is_diag=True)
+    z_dense = lcp_solve(jnp.eye(n) + 0.0 * Q, p, Gm, h, q_is_diag=False)
+    assert z_diag.shape == (n, n) and z_dense.shape == (n, n)
+
+
+def test_batch_tile_matches_untiled():
+    """batch_tile segments the step over world tiles (HBM bound); results
+    and gradients must match the fused batch bit-for-bit semantics."""
+    from lcp_physics_tpu.core import make_step_batched
+    import jax.tree_util as jtu
+
+    static, params = circle_world(3, gravity=(0.0, G))
+    rng = np.random.default_rng(7)
+    B = 8
+    p = jnp.asarray(np.concatenate(
+        [np.zeros((B, 3, 1)), rng.uniform(0, 4, (B, 3, 2))], -1))
+    s0 = WorldState(p=p, v=jnp.asarray(rng.normal(0, 1, (B, 3, 3))),
+                    t=jnp.zeros((B,)))
+    full = jax.jit(make_step_batched(static, SimConfig()))
+    tiled = jax.jit(make_step_batched(static, SimConfig(batch_tile=4)))
+    out_f, diag_f = full(params, s0, DT)
+    out_t, diag_t = tiled(params, s0, DT)
+    np.testing.assert_allclose(np.asarray(out_t.p), np.asarray(out_f.p),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(diag_t.max_penetration),
+                               np.asarray(diag_f.max_penetration), atol=1e-12)
+
+    def loss(cfg):
+        def f(mass):
+            pr = params.__class__(**{**params.__dict__, "mass": mass})
+            o, _ = make_step_batched(static, cfg)(pr, s0, DT)
+            return jnp.sum(o.v ** 2)
+        return jax.grad(f)(params.mass)
+
+    g_f = loss(SimConfig())
+    g_t = loss(SimConfig(batch_tile=2))
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_f), rtol=1e-6)
