@@ -184,10 +184,10 @@ def bench_fwd_bwd(B=64, n_steps=20):
     return sec
 
 
-def bench_scale_up(B=2048, n_steps=8):
-    """BASELINE stretch config: thousands of vmapped 64-body worlds in one
-    fused program (bounded by HBM: the Schur precompute is ~B x 0.25 MB +
-    K systems ~B x 1 MB, so 2048 worlds ~ 2.5 GB resident)."""
+def bench_scale_up(B=4096, n_steps=8, batch_tile=1024):
+    """BASELINE stretch config (configs[4]): 4096 x 64-body worlds on one
+    chip.  batch_tile segments the solve over world tiles so peak HBM
+    scales with the tile, not the batch (SimConfig.batch_tile)."""
     from lcp_physics_tpu.core import (WorldState, default_params,
                                       make_scene_static)
     from lcp_physics_tpu.parallel import make_batched_step, tile_state
@@ -208,7 +208,8 @@ def bench_scale_up(B=2048, n_steps=8):
                        t=jnp.zeros((), jnp.float32))
     states = tile_state(state, B)
     bstep = make_batched_step(static, SimConfig(max_iter=12,
-                                                solver_eps=1e-5))
+                                                solver_eps=1e-5,
+                                                batch_tile=batch_tile))
 
     @jax.jit
     def run(params, states):
@@ -220,8 +221,9 @@ def bench_scale_up(B=2048, n_steps=8):
 
     sec = time_fn(run, params, states, iters=2)
     rate = B * n_steps / sec
-    log(f"[bench] SCALE-UP: {B} worlds x 64 bodies x {n_steps} steps: "
-        f"{sec:.2f} s -> {rate:,.0f} world-steps/sec")
+    log(f"[bench] SCALE-UP: {B} worlds x 64 bodies x {n_steps} steps "
+        f"(batch_tile={batch_tile}): {sec:.2f} s -> "
+        f"{rate:,.0f} world-steps/sec")
     return rate
 
 

@@ -1,16 +1,19 @@
-"""Trajectory-parity harness against the PyTorch reference.
+"""Trajectory/gradient parity harness against the PyTorch reference.
 
 SURVEY.md §4 item 3 / §6: per-step positions/velocities must agree with the
-reference engine to <= 1e-4 on the BASELINE scenarios.  The reference mount
-(/root/reference) was EMPTY during this build (see SURVEY.md provenance
+reference engine to <= 1e-4 on ALL FOUR BASELINE scenarios (bounce, chain,
+inference, billiards — BASELINE.json configs).  The reference mount
+(/root/reference) was EMPTY during rounds 1-2 (see SURVEY.md provenance
 note), so this harness self-detects availability:
 
     python tools/parity.py          # SKIPs cleanly if no reference found
 
-When the mount is populated (or `lcp_physics` is installed), it runs the
-bounce scenario through both engines in float64 and reports the max
-per-step position/velocity deviation.  Until then, the analytic-invariant
-suite in tests/test_step.py is the correctness anchor.
+When the mount is populated (or `lcp_physics` is installed), every scenario
+is built twice from ONE scene description — once with the reference API,
+once with ours (the APIs match by design) — stepped in float64, and the
+max per-step position deviation is reported per scenario, plus gradient
+parity (d loss / d parameter) for the inference and billiards scenes.
+Until then, the analytic-invariant suite in tests/ is the anchor.
 """
 import importlib.util
 import sys
@@ -18,63 +21,193 @@ import sys
 sys.path.insert(0, ".")
 sys.path.insert(0, "/root/reference")  # if the mount appears, prefer it
 
+TOL = 1e-4
+
 
 def reference_available():
     return importlib.util.find_spec("lcp_physics") is not None
 
 
-def run_reference_bounce(steps, dt):
-    """Reference trajectory: circle dropped on a fixed rect (float64)."""
-    import torch
-    from lcp_physics.physics.bodies import Circle, Rect  # noqa
-    from lcp_physics.physics.constraints import TotalConstraint  # noqa
-    from lcp_physics.physics.forces import ExternalForce, down_force  # noqa
-    from lcp_physics.physics.world import World  # noqa
+# ---------------------------------------------------------------------------
+# Scene builders: parameterized by the API namespace (reference | ours).
+# Both packages expose the same constructor surface; that is the parity
+# contract being tested.
+# ---------------------------------------------------------------------------
 
-    ball = Circle([400, 100], 20, restitution=0.6)
-    ball.add_force(ExternalForce(down_force, multiplier=100.0))
-    floor = Rect([400, 300], [700, 40])
-    world = World([ball, floor], [TotalConstraint(floor)], dt=dt)
-    traj = []
-    for _ in range(steps):
-        world.step()
-        traj.append([float(x) for x in ball.p])
-    return traj
+def scene_bounce(api):
+    ball = api.Circle([400, 100], 20, restitution=0.6)
+    ball.add_force(api.ExternalForce(api.down_force, multiplier=100.0))
+    floor = api.Rect([400, 300], [700, 40])
+    return api.World([ball, floor], [api.TotalConstraint(floor)],
+                     dt=1 / 60), [0]
 
 
-def run_ours_bounce(steps, dt):
+def scene_chain(api):
+    """Linked bodies with joints + an anchored head (BASELINE configs[1])."""
+    bodies, joints = [], []
+    prev = None
+    for k in range(4):
+        c = api.Circle([300 + 50 * k, 100], 10)
+        c.add_force(api.ExternalForce(api.down_force, multiplier=100.0))
+        bodies.append(c)
+        if prev is None:
+            joints.append(api.XConstraint(c))
+            joints.append(api.YConstraint(c))
+        else:
+            joints.append(api.Joint(prev, c, [275 + 50 * k, 100]))
+        prev = c
+    floor = api.Rect([400, 400], [700, 40])
+    bodies.append(floor)
+    joints.append(api.TotalConstraint(floor))
+    return api.World(bodies, joints, dt=1 / 60), list(range(4))
+
+
+def scene_inference(api, mass=2.0):
+    """The parameter-inference scene (BASELINE configs[2]): a ball of
+    unknown mass pushed by a fixed impulse across a frictional floor."""
+    ball = api.Circle([300, 280], 20, mass=mass, fric_coeff=0.4)
+    ball.add_force(api.ExternalForce(api.hor_impulse, multiplier=300.0))
+    floor = api.Rect([400, 320], [700, 40], fric_coeff=0.4)
+    return api.World([ball, floor], [api.TotalConstraint(floor)],
+                     dt=1 / 60), [0]
+
+
+def scene_billiards(api, cue_v=(300.0, -20.0)):
+    """Cue ball shot at a target ball (BASELINE configs[3])."""
+    cue = api.Circle([200, 200], 15)
+    target = api.Circle([400, 190], 15)
+    w = api.World([cue, target], [], dt=1 / 60)
+    v0 = [0.0, cue_v[0], cue_v[1], 0.0, 0.0, 0.0]
+    if getattr(api, "__name__", "") == "ref":  # reference wants a tensor
+        import torch
+        v0 = torch.tensor(v0, dtype=torch.float64)
+    w.set_v(v0)
+    return w, [0, 1]
+
+
+SCENARIOS = [
+    ("bounce", scene_bounce, 120),
+    ("chain", scene_chain, 120),
+    ("inference", scene_inference, 90),
+    ("billiards", scene_billiards, 60),
+]
+
+
+class _Namespace:
+    """API namespace adapter over a package's physics modules."""
+
+    def __init__(self, name, **symbols):
+        self.__name__ = name
+        for k, v in symbols.items():
+            setattr(self, k, v)
+
+
+def reference_api():
+    from lcp_physics.physics import bodies, constraints, forces, world
+    return _Namespace(
+        "ref",
+        Circle=bodies.Circle, Rect=bodies.Rect, Hull=bodies.Hull,
+        Joint=constraints.Joint, TotalConstraint=constraints.TotalConstraint,
+        XConstraint=constraints.XConstraint,
+        YConstraint=constraints.YConstraint,
+        ExternalForce=forces.ExternalForce, down_force=forces.down_force,
+        hor_impulse=forces.hor_impulse, World=world.World)
+
+
+def ours_api():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    from lcp_physics_tpu.physics import (Circle, ExternalForce, Rect,
-                                         TotalConstraint, World, down_force)
+    import lcp_physics_tpu.physics as phys
+    return phys
 
-    ball = Circle([400, 100], 20, restitution=0.6)
-    ball.add_force(ExternalForce(down_force, multiplier=100.0))
-    floor = Rect([400, 300], [700, 40])
-    world = World([ball, floor], [TotalConstraint(floor)], dt=dt)
+
+def run_trajectory(api, build, steps):
+    world, track = build(api)
     traj = []
     for _ in range(steps):
         world.step()
-        traj.append([float(x) for x in world.bodies[0].p])
+        traj.append([[float(x) for x in world.bodies[i].p] for i in track])
     return traj
+
+
+def gradient_ours_inference():
+    """d(final x)/d(mass) through our rollout (float64)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from lcp_physics_tpu.core import make_step, rollout
+
+    api = ours_api()
+
+    def final_x(mass):
+        w, _ = scene_inference(api, mass=1.0)
+        static, params, state = w.functional()
+        params = params.__class__(
+            **{**params.__dict__, "mass": params.mass.at[0].set(mass)})
+        step = make_step(static, w.engine._config(w))
+        f, _ = rollout(step, params, state, w.dt, 90)
+        return f.p[0, 1]
+
+    return float(jax.grad(final_x)(2.0))
+
+
+def gradient_reference_inference():
+    """Same quantity via torch autograd through the reference engine."""
+    import torch
+
+    api = reference_api()
+    mass = torch.tensor(2.0, dtype=torch.float64, requires_grad=True)
+    ball = api.Circle([300, 280], 20, mass=mass, fric_coeff=0.4)
+    ball.add_force(api.ExternalForce(api.hor_impulse, multiplier=300.0))
+    floor = api.Rect([400, 320], [700, 40], fric_coeff=0.4)
+    w = api.World([ball, floor], [api.TotalConstraint(floor)], dt=1 / 60)
+    for _ in range(90):
+        w.step()
+    w.bodies[0].p[1].backward()
+    return float(mass.grad)
 
 
 def main():
     if not reference_available():
         print("PARITY SKIP: reference lcp_physics not importable "
               "(/root/reference is empty — SURVEY.md provenance note). "
-              "Analytic invariants in tests/test_step.py remain the anchor.")
+              "Analytic invariants in tests/ remain the anchor.")
         return 0
-    steps, dt = 120, 1.0 / 60.0
-    ref = run_reference_bounce(steps, dt)
-    ours = run_ours_bounce(steps, dt)
+
     import numpy as np
 
-    dev = np.abs(np.asarray(ref) - np.asarray(ours)).max()
-    print(f"max per-step |Δp| over {steps} steps: {dev:.3e} "
-          f"({'PASS' if dev <= 1e-4 else 'FAIL'} @ 1e-4)")
-    return 0 if dev <= 1e-4 else 1
+    ref, ours = reference_api(), ours_api()
+    failures = 0
+    print(f"{'scenario':<12} {'steps':>5} {'max |dp|':>12}  verdict")
+    for name, build, steps in SCENARIOS:
+        try:
+            t_ref = np.asarray(run_trajectory(ref, build, steps))
+            t_our = np.asarray(run_trajectory(ours, build, steps))
+            dev = np.abs(t_ref - t_our).max()
+            ok = dev <= TOL
+            failures += 0 if ok else 1
+            print(f"{name:<12} {steps:>5} {dev:>12.3e}  "
+                  f"{'PASS' if ok else 'FAIL'} @ {TOL:g}")
+        except Exception as e:  # report, keep going
+            failures += 1
+            print(f"{name:<12} {steps:>5} {'ERROR':>12}  {e!r}")
+
+    try:
+        g_ref = gradient_reference_inference()
+        g_our = gradient_ours_inference()
+        rel = abs(g_ref - g_our) / max(abs(g_ref), 1e-12)
+        ok = rel <= 1e-3
+        failures += 0 if ok else 1
+        print(f"{'grad(mass)':<12} {90:>5} {rel:>12.3e}  "
+              f"{'PASS' if ok else 'FAIL'} @ 1e-3 rel "
+              f"(ref {g_ref:.6g}, ours {g_our:.6g})")
+    except Exception as e:
+        failures += 1
+        print(f"{'grad(mass)':<12} {'':>5} {'ERROR':>12}  {e!r}")
+
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
