@@ -337,3 +337,70 @@ def test_batch_tile_matches_untiled():
     g_f = loss(SimConfig())
     g_t = loss(SimConfig(batch_tile=2))
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_f), rtol=1e-6)
+
+
+def _random_contact_rich(B, N, seed, dtype=jnp.float64):
+    """Random near-contact cluster worlds + assembled LCP blocks."""
+    from lcp_physics_tpu.core import make_assemble, make_scene_static, \
+        default_params
+    rng = np.random.default_rng(seed)
+    static = make_scene_static([1] * N, c_max=2 * N)
+    params = default_params(static, verts=np.zeros((N, 1, 2)),
+                            radius=[1.0] * N, gravity=(0.0, G),
+                            restitution=0.5, fric_coeff=0.9, dtype=dtype)
+    config = SimConfig(max_iter=25, solver_eps=1e-9)
+    assemble, _ = make_assemble(static, config)
+    # jittered line of touching circles: physical contact depths (<= ~0.2),
+    # not the degenerate near-total overlaps a uniform scatter produces
+    base = np.stack([np.arange(N) * 1.9, np.zeros(N)], -1)
+    pos = base[None] + rng.uniform(-0.12, 0.12, (B, N, 2))
+    p = jnp.asarray(np.concatenate([np.zeros((B, N, 1)), pos], -1), dtype)
+    v = jnp.asarray(rng.standard_normal((B, N, 3)), dtype)
+    states = WorldState(p=p, v=v, t=jnp.zeros((B,), dtype))
+    blocks, contacts = jax.vmap(assemble, in_axes=(None, 0, None))(
+        params, states, DT)
+    return static, params, blocks, contacts
+
+
+def test_friction_cone_and_complementarity():
+    """SURVEY §4 item 4: on randomized contact-rich scenes the solver's
+    multipliers satisfy the polyhedral friction cone mu*lam_n >= |sum beta|
+    and the complementarity/KKT residuals are at solver tolerance."""
+    from lcp_physics_tpu.lcp import lcp_solve_full
+
+    B, N = 16, 6
+    static, params, blocks, contacts = _random_contact_rich(B, N, 11)
+    C = static.c_max
+    sol = lcp_solve_full(**blocks, max_iter=30, tol=1e-10, q_is_diag=True,
+                         gamma_rows=C)
+    lam_n = sol.lam[:, :C]                    # normal impulses
+    beta = sol.lam[:, C:3 * C]                # friction (+t, -t)
+    mu = jnp.sqrt(jnp.clip(
+        params.fric_coeff[contacts.ia] * params.fric_coeff[contacts.ib],
+        0.0)) * contacts.valid
+    net_beta = jnp.abs(beta[:, :C] - beta[:, C:2 * C])
+    # cone: mu*lam_n - |sum beta| >= -tol on valid rows
+    slack = mu * lam_n - net_beta
+    ok = jnp.where(contacts.valid, slack, 0.0)
+    assert float(jnp.min(ok)) > -1e-6
+    # complementarity + KKT residuals at tolerance
+    assert float(jnp.max(sol.mu)) < 1e-7
+    assert float(jnp.max(sol.resid)) < 1e-6
+    # duals are nonnegative
+    assert float(jnp.min(sol.lam)) >= 0.0
+    assert float(jnp.min(sol.s)) >= 0.0
+
+
+def test_no_penetration_across_restitution_sweep():
+    """SURVEY §4 item 4: post-step penetration stays below tolerance for
+    every restitution in a sweep (speculative contacts resolve impacts at
+    the surface)."""
+    for e in (0.0, 0.3, 0.6, 0.9):
+        static, params = box_ground_world(gravity=(0.0, G), restitution=e)
+        s0 = WorldState(p=jnp.array([[0., 0., -2.6], [0., 0., 0.]]),
+                        v=jnp.zeros((2, 3)), t=jnp.zeros(()))
+        step = make_step(static)
+        _, traj = rollout(jax.jit(step), params, s0, DT, 150)
+        # ball never sinks below the surface beyond tol: center y <= -2+tol
+        max_y = float(jnp.max(traj.p[:, 0, 2]))
+        assert max_y <= -2.0 + 1e-4, f"e={e}: penetration {max_y + 2.0}"
