@@ -91,13 +91,13 @@ def bench_lcp_solves(B=4096):
     m = blocks["G"].shape[-2]
     q = blocks["A"].shape[-2]
 
-    def solve(Q, p, G, h, A, b, F):
+    def solve(Q, p, G, h, A, b, F, row_mask):
         return lcp_solve(Q, p, G, h, A, b, F, max_iter=15, tol=1e-6,
-                         gamma_rows=C)
+                         gamma_rows=C, row_mask=row_mask)
 
     sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
                        blocks["h"], blocks["A"], blocks["b"], blocks["F"],
-                       reps=5)
+                       blocks["row_mask"], reps=5)
     rate = B / sec
     log(f"[bench] batched contact LCP (engine-assembled): B={B} n={3*N} "
         f"m={m} q={q}, avg {n_active:.1f} active contacts: "
@@ -105,8 +105,13 @@ def bench_lcp_solves(B=4096):
     return rate
 
 
-def bench_world_steps(B=256, n_steps=16):
-    """Batched 64-body world stepping (the BASELINE '64 bodies' metric)."""
+def bench_world_steps(B=256, n_steps=16, dense=False):
+    """Batched 64-body world stepping (the BASELINE '64 bodies' metric).
+
+    dense=False: the round-1 loose grid (free flight, ~0 active contacts —
+    measures assembly + solver fast-path overhead).  dense=True: touching
+    grid with ~90 persistent contacts per world (measures the full
+    contact-LCP iteration cost)."""
     from lcp_physics_tpu.core import (WorldState, default_params,
                                       make_scene_static)
     from lcp_physics_tpu.parallel import make_batched_step, tile_state
@@ -120,12 +125,19 @@ def bench_world_steps(B=256, n_steps=16):
         static, verts=np.zeros((N, 1, 2), np.float32),
         radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
         restitution=0.4, dtype=jnp.float32)
-    # loose grid with small jitter: some touching, most free
     gx, gy = np.meshgrid(np.arange(8), np.arange(8))
-    pos = np.stack([gx.ravel() * 2.6, gy.ravel() * 2.6], -1)
-    pos = pos + rng.uniform(-0.25, 0.25, pos.shape)
+    if dense:
+        # touching grid + small velocities: ~90 persistent contacts/world
+        pos = np.stack([gx.ravel() * 2.01, gy.ravel() * 2.01], -1)
+        pos = pos + rng.uniform(-0.01, 0.01, pos.shape)
+        v0 = rng.normal(0, 0.5, (N, 3)).astype(np.float32)
+    else:
+        # loose grid with small jitter: some touching, most free
+        pos = np.stack([gx.ravel() * 2.6, gy.ravel() * 2.6], -1)
+        pos = pos + rng.uniform(-0.25, 0.25, pos.shape)
+        v0 = np.zeros((N, 3), np.float32)
     p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
-    state = WorldState(p=jnp.asarray(p), v=jnp.zeros((N, 3), jnp.float32),
+    state = WorldState(p=jnp.asarray(p), v=jnp.asarray(v0),
                        t=jnp.zeros((), jnp.float32))
     states = tile_state(state, B)
 
@@ -142,8 +154,10 @@ def bench_world_steps(B=256, n_steps=16):
 
     sec = time_fn(run, params, states, iters=3)
     rate = B * n_steps / sec
-    log(f"[bench] world steps (64 bodies, C=128): B={B} x {n_steps} steps: "
-        f"{sec * 1e3:.1f} ms -> {rate:,.0f} world-steps/sec")
+    tag = "dense ~90 contacts" if dense else "loose"
+    log(f"[bench] world steps (64 bodies, C=128, {tag}): B={B} x "
+        f"{n_steps} steps: {sec * 1e3:.1f} ms -> "
+        f"{rate:,.0f} world-steps/sec")
     return rate
 
 
@@ -234,6 +248,7 @@ def main():
     rate = bench_lcp_solves()
     try:
         bench_world_steps()
+        bench_world_steps(dense=True)
         bench_fwd_bwd()
         if "--scale" in _sys.argv:
             bench_scale_up()

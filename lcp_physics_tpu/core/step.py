@@ -159,7 +159,11 @@ def make_assemble(static: SceneStatic, config: SimConfig):
                         jnp.zeros((fd * C,), dtype), 1.0)
         h_g = jnp.where(contacts.valid, jnp.zeros((C,), dtype), 1.0)
         h = jnp.concatenate([h_n, h_f, h_g])
-        blocks = dict(Q=Mdiag, p=-u, G=G, h=h, A=Je, b=b_eq, F=F)
+        # 1.0 on real contact rows, 0.0 on padding: the solver pins padded
+        # rows at their exact solution and converges on active rows only.
+        rmask = jnp.concatenate([mask, jnp.tile(mask, fd), mask])
+        blocks = dict(Q=Mdiag, p=-u, G=G, h=h, A=Je, b=b_eq, F=F,
+                      row_mask=rmask)
         return blocks, contacts
 
     def assemble_post_stab(params, p):
@@ -180,7 +184,8 @@ def make_assemble(static: SceneStatic, config: SimConfig):
         # push out: Jc dp >= depth  ->  -Jc dp <= -depth
         h_ps = jnp.where(contacts.valid, -contacts.depth, 1.0)
         return dict(Q=Mdiag, p=zero_p, G=-Jc, h=h_ps, A=Je, b=-err,
-                    F=jnp.zeros((C, C), dtype))
+                    F=jnp.zeros((C, C), dtype),
+                    row_mask=contacts.valid.astype(dtype))
 
     return assemble, assemble_post_stab
 

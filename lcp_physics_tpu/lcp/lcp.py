@@ -45,32 +45,33 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
-                    gamma_rows):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
+                    diag_q, gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
-                      gamma_rows=gamma_rows)
+                      gamma_rows=gamma_rows, row_mask=row_mask)
     return sol.z
 
 
-def _lcp_fwd(Q, p, G, h, A, b, F, max_iter, tol, backend, diag_q,
+def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
              gamma_rows):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
-                      gamma_rows=gamma_rows)
-    residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F)
+                      gamma_rows=gamma_rows, row_mask=row_mask)
+    residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
-    z, s, lam, nu, Q, G, A, F = residuals
+    z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
     single = G.ndim == 2
     if single:
         z, s, lam, nu, Q, G, A, F, g = jax.tree.map(
             lambda x: x[None], (z, s, lam, nu, Q, G, A, F, g))
+    # (row_mask is only needed for its zero cotangent below)
     n, m = G.shape[-1], G.shape[-2]
     q = nu.shape[-1]
     dt = Q.dtype
@@ -110,7 +111,7 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
         )
     if single:
         grads = jax.tree.map(lambda x: x[0], grads)
-    return grads
+    return grads + (jax.tree.map(jnp.zeros_like, row_mask),)
 
 
 _lcp_solve_core.defvjp(_lcp_fwd, _lcp_bwd)
@@ -170,7 +171,7 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
-              q_is_diag=None):
+              q_is_diag=None, row_mask=None):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -187,21 +188,26 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     """
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
                                                q_is_diag)
-    return _lcp_solve_core(Q, p, G, h, A, b, F, max_iter, tol, backend,
-                           diag_q, gamma_rows)
+    if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, h.dtype)
+    return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
+                           backend, diag_q, gamma_rows)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
-                   gamma_rows=0, q_is_diag=None) -> PdipmSolution:
+                   gamma_rows=0, q_is_diag=None,
+                   row_mask=None) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
                                                q_is_diag)
+    if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, h.dtype)
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                        backend=backend, q_is_diag=diag_q,
-                       gamma_rows=gamma_rows)
+                       gamma_rows=gamma_rows, row_mask=row_mask)
 
 
 class LCPFunction:

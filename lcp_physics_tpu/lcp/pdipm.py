@@ -260,9 +260,11 @@ def _split(sol, n, m):
     return sol[..., :n], sol[..., n:n + m], sol[..., n + m:]
 
 
-def _max_step(v, dv):
-    """Per-instance largest alpha in (0, 1] with v + alpha*dv >= 0."""
-    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+def _max_step(v, dv, mask=None):
+    """Per-instance largest alpha in (0, 1] with v + alpha*dv >= 0
+    (restricted to ``mask`` rows when given)."""
+    neg = dv < 0 if mask is None else (dv < 0) & mask
+    ratio = jnp.where(neg, -v / jnp.where(neg, dv, -1.0), jnp.inf)
     return jnp.minimum(1.0, jnp.min(ratio, axis=-1, initial=jnp.inf))
 
 
@@ -312,7 +314,7 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
-                gamma_rows=0, q_is_diag=None):
+                gamma_rows=0, q_is_diag=None, row_mask=None):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -321,6 +323,14 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     explicit (None infers from shape).  ``q_diag`` (B, n): alternatively,
     pass a dense Q plus its diagonal to enable the Schur fast path
     (see make_kkt_factor) while keeping dense residual semantics.
+
+    ``row_mask`` (B, m): 1.0 on REAL inequality rows, 0.0 on padding rows
+    (zero G/F row, h > 0 — the engine's inactive contact slots).  Padded
+    rows are pinned at their exact solution (s = h, lam ~ 0) and excluded
+    from the complementarity measure, residual norm and step-length ratio
+    test, so convergence is governed only by the physically active rows —
+    a world with few active contacts no longer spends interior-point
+    iterations centering its padding.
 
     Returns a :class:`PdipmSolution`.
     """
@@ -368,6 +378,31 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
             z, zero_m, zero_m, nu, zero_b, zero_b,
             jnp.zeros((B,), jnp.int32)))
 
+    if row_mask is not None and row_mask.ndim == 1:
+        row_mask = jnp.broadcast_to(row_mask[None], (B, m))
+    maskb = None if row_mask is None else row_mask.astype(bool)
+    maskf = None if row_mask is None else row_mask.astype(dt)
+
+    def comp_mu(s, lam):
+        """Complementarity measure over REAL rows only."""
+        if maskf is None:
+            return jnp.sum(s * lam, axis=-1) / m
+        return (jnp.sum(s * lam * maskf, axis=-1)
+                / jnp.maximum(jnp.sum(maskf, axis=-1), 1.0))
+
+    def masked_min(v):
+        if maskb is None:
+            return jnp.min(v, axis=-1, initial=jnp.inf)
+        return jnp.min(jnp.where(maskb, v, jnp.inf), axis=-1,
+                       initial=jnp.inf)
+
+    def pin(s, lam):
+        """Hold padded rows at their exact solution (s = h, lam ~ 0)."""
+        if maskb is None:
+            return s, lam
+        return (jnp.where(maskb, s, h),
+                jnp.where(maskb, lam, consts["tiny"]))
+
     kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
                                  gamma_rows if q_diag is not None else 0)
 
@@ -378,10 +413,11 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     sol0 = kkt_factor(ones_m)(rhs0)
     z, lam, nu = _split(sol0, n, m)
     s = -lam  # with d_inv = 1 and zero complementarity residual, ds = -dlam
-    shift = jax.nn.relu(1.0 - jnp.min(s, axis=-1, initial=jnp.inf))
+    shift = jax.nn.relu(1.0 - masked_min(s))
     s = s + shift[..., None]
-    shift_l = jax.nn.relu(1.0 - jnp.min(lam, axis=-1, initial=jnp.inf))
+    shift_l = jax.nn.relu(1.0 - masked_min(lam))
     lam = lam + shift_l[..., None]
+    s, lam = pin(s, lam)
 
     big = jnp.asarray(jnp.finfo(dt).max / 8, dt)
     GT = jnp.swapaxes(G, -1, -2)
@@ -403,16 +439,17 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         return rx, rz, ry
 
     def resid_norm(rx, rz, ry):
+        rz_ = rz if maskb is None else jnp.where(maskb, rz, 0.0)
         return jnp.maximum(
             jnp.max(jnp.abs(rx), axis=-1, initial=0.0),
-            jnp.maximum(jnp.max(jnp.abs(rz), axis=-1, initial=0.0),
+            jnp.maximum(jnp.max(jnp.abs(rz_), axis=-1, initial=0.0),
                         jnp.max(jnp.abs(ry), axis=-1, initial=0.0)))
 
     def body(i, carry):
         z, s, lam, nu, best, best_merit, done, iters = carry
 
         rx, rz, ry = kkt_residuals(z, s, lam, nu)
-        mu = jnp.sum(s * lam, axis=-1) / m
+        mu = comp_mu(s, lam)
         merit = mu + resid_norm(rx, rz, ry)
 
         improved = merit < best_merit
@@ -440,9 +477,10 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         dz_a, dlam_a, _ = _split(kkt_solve(rhs_aff), n, m)
         ds_a = -r4 / lam_safe - d_inv * dlam_a
 
-        alpha_a = jnp.minimum(_max_step(s, ds_a), _max_step(lam, dlam_a))
-        mu_aff = jnp.sum((s + alpha_a[..., None] * ds_a)
-                         * (lam + alpha_a[..., None] * dlam_a), axis=-1) / m
+        alpha_a = jnp.minimum(_max_step(s, ds_a, maskb),
+                              _max_step(lam, dlam_a, maskb))
+        mu_aff = comp_mu(s + alpha_a[..., None] * ds_a,
+                         lam + alpha_a[..., None] * dlam_a)
         sigma = jnp.clip(mu_aff / jnp.maximum(mu, consts["tiny"]),
                          0.0, 1.0) ** 3
 
@@ -452,12 +490,13 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         dz, dlam, dnu = _split(kkt_solve(rhs_c), n, m)
         ds = -r4c / lam_safe - d_inv * dlam
 
-        alpha = (0.99 * jnp.minimum(_max_step(s, ds),
-                                    _max_step(lam, dlam)))[..., None]
+        alpha = (0.99 * jnp.minimum(_max_step(s, ds, maskb),
+                                    _max_step(lam, dlam, maskb)))[..., None]
 
         z_n = z + alpha * dz
         s_n = jnp.maximum(s + alpha * ds, consts["tiny"])
         lam_n = jnp.maximum(lam + alpha * dlam, consts["tiny"])
+        s_n, lam_n = pin(s_n, lam_n)
         nu_n = nu + alpha * dnu
 
         # Divergence guard: freeze any instance that went non-finite.
@@ -494,12 +533,11 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     # Return the best iterate seen (covers non-monotone tails, mirroring
     # the reference's notImprovedLim best-iterate fallback).
     rx, rz, ry = kkt_residuals(z, s, lam, nu)
-    mu = jnp.sum(s * lam, axis=-1) / m
-    final_merit = mu + resid_norm(rx, rz, ry)
+    final_merit = comp_mu(s, lam) + resid_norm(rx, rz, ry)
     use_best = (best_merit < final_merit)[..., None]
     z, s, lam, nu = jax.tree.map(
         lambda b_, c: jnp.where(use_best, b_, c), best, (z, s, lam, nu))
-    mu = jnp.sum(s * lam, axis=-1) / m
+    mu = comp_mu(s, lam)
     rx, rz, ry = kkt_residuals(z, s, lam, nu)
     return maybe_squeeze(PdipmSolution(
         z, s, lam, nu, mu, resid_norm(rx, rz, ry), iters))

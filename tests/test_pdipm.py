@@ -175,3 +175,47 @@ def test_diag_q_schur_path_matches_dense():
                    jnp.stack([b] * B), jnp.stack([F] * B), **kw)
     z0_single = lcp_solve(qd_b[0], p, G, h, A, b, F, **kw)
     np.testing.assert_allclose(zb[0], z0_single, atol=1e-9)
+
+
+def test_row_mask_pins_padding_and_matches_unmasked():
+    """Padded rows (zero G/F row, h > 0) pinned at s = h, lam ~ 0 and
+    excluded from convergence: results match the unmasked solve on the
+    real rows, and an all-padding instance converges in zero iterations."""
+    import numpy as np
+    from lcp_physics_tpu.lcp import lcp_solve_full
+
+    rng = np.random.default_rng(5)
+    B, n, m_real, m_pad = 4, 6, 4, 12
+    m = m_real + m_pad
+    q_diag = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    p = jnp.asarray(rng.standard_normal((B, n)))
+    G = jnp.zeros((B, m, n)).at[:, :m_real].set(
+        rng.standard_normal((B, m_real, n)))
+    h = jnp.ones((B, m)).at[:, :m_real].set(
+        jnp.einsum("bmn,bn->bm", G[:, :m_real],
+                   jnp.asarray(rng.standard_normal((B, n))))
+        + jnp.asarray(rng.uniform(0.5, 1.5, (B, m_real))))
+    mask = jnp.zeros((B, m)).at[:, :m_real].set(1.0)
+
+    sol_m = lcp_solve_full(q_diag, p, G, h, max_iter=25, tol=1e-10,
+                           q_is_diag=True, row_mask=mask)
+    sol_u = lcp_solve_full(q_diag, p, G, h, max_iter=25, tol=1e-10,
+                           q_is_diag=True)
+    np.testing.assert_allclose(np.asarray(sol_m.z), np.asarray(sol_u.z),
+                               rtol=1e-6, atol=1e-8)
+    # padded rows sit exactly at their solution
+    np.testing.assert_allclose(np.asarray(sol_m.s[:, m_real:]), 1.0,
+                               atol=1e-12)
+    assert float(jnp.max(sol_m.lam[:, m_real:])) < 1e-8
+    # masked solve needs about the same iterations as unmasked here (the
+    # big win is the few-active-rows case below); allow +-1 wiggle
+    assert int(jnp.max(sol_m.iters)) <= int(jnp.max(sol_u.iters)) + 1
+
+    # all-padding instance: converged at iteration zero
+    sol_0 = lcp_solve_full(q_diag, p, jnp.zeros_like(G), jnp.ones((B, m)),
+                           max_iter=25, tol=1e-10, q_is_diag=True,
+                           row_mask=jnp.zeros((B, m)))
+    assert int(jnp.max(sol_0.iters)) == 0
+    # and the solution is the unconstrained minimizer -Q^-1 p
+    np.testing.assert_allclose(np.asarray(sol_0.z),
+                               np.asarray(-p / q_diag), rtol=1e-8)
