@@ -43,6 +43,7 @@ from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
                                             constraint_position_error)
 from lcp_physics_tpu.core.state import SceneParams, SceneStatic, WorldState
 from lcp_physics_tpu.lcp import lcp_solve
+from lcp_physics_tpu.lcp.cone import ConeF
 from lcp_physics_tpu.utils import SimConfig
 
 
@@ -124,22 +125,20 @@ def make_assemble(static: SceneStatic, config: SimConfig):
                           F=jnp.zeros((0, 0), dtype))
             return blocks, contacts
 
-        Jc, Jf, E = assemble_contact_jacobians(contacts, N, fd)
+        Jc, Jf, _ = assemble_contact_jacobians(contacts, N, fd)
         mask = contacts.valid.astype(dtype)
-        E = E * jnp.tile(mask, fd)[:, None] * mask[None, :]
 
         e_rest = 0.5 * (params.restitution[contacts.ia]
                         + params.restitution[contacts.ib])
         mu = jnp.sqrt(jnp.clip(params.fric_coeff[contacts.ia]
                                * params.fric_coeff[contacts.ib], 0.0)) * mask
 
-        m = C * (2 + fd)
         G = jnp.concatenate(
             [-Jc, -Jf, jnp.zeros((C, 3 * N), dtype)], axis=0)
-        F = jnp.zeros((m, m), dtype)
-        F = F.at[C:C + fd * C, C + fd * C:].set(-E)
-        F = F.at[C + fd * C:, :C].set(-jnp.diag(mu))
-        F = F.at[C + fd * C:, C:C + fd * C].set(E.T)
+        # Structured friction-cone coupling: F = [[0,0,0],[0,0,-E],
+        # [-diag(mu),E^T,0]] carried as (mu, valid) — never materialized
+        # as the O(m^2) dense tensor (lcp/cone.py).
+        F = ConeF(mu=mu, valid=mask, fd=fd)
 
         # Normal-row targets.  Touching/overlapping contacts (gap == 0) get
         # the reference restitution law  Jc v' >= -e (Jc v).  Speculative

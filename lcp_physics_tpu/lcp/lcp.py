@@ -39,6 +39,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lcp_physics_tpu.lcp.cone import ConeF
 from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
                                        make_kkt_factor, pdipm_solve,
                                        resolve_backend, solve_eq_kkt)
@@ -88,7 +89,8 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
         wz = -wz  # solve_eq_kkt solves with rhs [-p; b]; we want [g; 0]
         wn = -wn
         grads = (dQ_of(wz), -wz, jnp.zeros_like(G), jnp.zeros_like(s),
-                 -(bger(wn, z) + bger(nu, wz)), wn, jnp.zeros_like(F))
+                 -(bger(wn, z) + bger(nu, wz)), wn,
+                 jax.tree.map(jnp.zeros_like, F))
     else:
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"],
@@ -100,6 +102,15 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
         w = kkt(rhs, trans=1)
         wz, wl, wn = w[..., :n], w[..., n:n + m], w[..., n + m:]
+        if isinstance(F, ConeF):
+            # F carries only mu (at [gamma_i, normal_i] = -mu_i): the
+            # dense cotangent dF = -(w_l lam^T) restricted to those
+            # entries, chained through the -1, is w_l[gamma] * lam[normal].
+            mg = F.m - F.C
+            dF = ConeF(wl[..., mg:] * lam[..., :F.C],
+                       jnp.zeros_like(F.valid), F.fd)
+        else:
+            dF = -bger(wl, lam)
         grads = (
             dQ_of(wz),                     # dQ
             -wz,                           # dp
@@ -107,7 +118,7 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
             wl,                            # dh
             -(bger(wn, z) + bger(nu, wz)),   # dA
             wn,                            # db
-            -bger(wl, lam),                # dF
+            dF,                            # dF
         )
     if single:
         grads = jax.tree.map(lambda x: x[0], grads)
@@ -164,6 +175,8 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
         b = jnp.asarray(b, dt)
     if F is None:
         F = jnp.zeros(lead + (m, m), dt)
+    elif isinstance(F, ConeF):
+        F = ConeF(jnp.asarray(F.mu, dt), jnp.asarray(F.valid, dt), F.fd)
     else:
         F = jnp.asarray(F, dt)
     return diag_q, (Q, p, G, h, A, b, F)

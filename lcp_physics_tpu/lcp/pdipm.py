@@ -48,6 +48,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
+from lcp_physics_tpu.lcp.cone import ConeF
+
 
 class PdipmSolution(NamedTuple):
     z: jax.Array      # primal solution (B, n)
@@ -110,11 +112,14 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
     B, n = Q.shape[0], Q.shape[-1]
     m, q = G.shape[-2], A.shape[-2]
     dt = Q.dtype
+    cone = isinstance(F, ConeF)
 
     if q_diag is None:
-        be = resolve_backend(backend, n + m + q)
+        if cone:
+            F = F.dense()  # generic dense path: fall back
 
         def factor_dense(d_inv):
+            be = resolve_backend(backend, n + m + q)
             fac = _factor(_assemble_kkt(Q, G, A, F, d_inv, reg), be)
             return lambda rhs, trans=0: _solve(fac, rhs, be, trans)
 
@@ -125,6 +130,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
     eye_q = jnp.eye(q, dtype=dt)
 
     if gamma_rows == 0 or gamma_rows > m:
+        if cone:
+            F = F.dense()
         be = resolve_backend(backend, mq)
         Ghat = jnp.concatenate([G, A], axis=-2)      # (B, mq, n)
         P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
@@ -162,21 +169,76 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
     Ghat_k = jnp.concatenate([G[:, :mg, :], A], axis=-2)  # (B, K, n)
     P = jnp.einsum("bmn,bn,bkn->bmk", Ghat_k, qinv, Ghat_k)
     eye_mg = jnp.eye(mg, dtype=dt)
-    zeros_qg = jnp.zeros((B, q, g_), dt)
-    Skg = jnp.concatenate([F[:, :mg, mg:m], zeros_qg], axis=-2)  # (B,K,g)
-    Sgk = jnp.concatenate([F[:, mg:m, :mg],
-                           jnp.swapaxes(zeros_qg, -1, -2)], axis=-1)
+
+    if cone:
+        # Structured coupling: Skg = [0_C; -E; 0_q], Sgk = [-diag(mu),
+        # E^T, 0_q] with E = fd stacked masked identities.  Every product
+        # against them is O(C) — F is never materialized.
+        C_, fd = F.C, F.fd
+        assert g_ == C_ and mg == C_ * (1 + fd), (
+            "gamma elimination with ConeF expects the engine row layout")
+        v, mu_v = F.valid, F.mu
+        idxC = jnp.arange(C_)
+
+        def skg_apply(tD):
+            """Skg @ tD onto the K kept rows (friction rows only)."""
+            fr = jnp.concatenate([-v * tD] * fd, axis=-1)
+            pad_q = jnp.zeros(tD.shape[:-1] + (q,), dt)
+            return jnp.concatenate(
+                [jnp.zeros_like(tD), fr, pad_q], axis=-1)
+
+        def sgk_t_apply(tD):
+            """Sgk^T @ tD onto the K kept rows."""
+            fr = jnp.concatenate([v * tD] * fd, axis=-1)
+            pad_q = jnp.zeros(tD.shape[:-1] + (q,), dt)
+            return jnp.concatenate([-mu_v * tD, fr, pad_q], axis=-1)
+
+        def sgk_apply(wk):
+            """Sgk @ wk -> gamma rows."""
+            wf = sum(wk[..., C_ * (1 + d):C_ * (2 + d)] for d in range(fd))
+            return -mu_v * wk[..., :C_] + v * wf
+
+        def skg_t_apply(wk):
+            """Skg^T @ wk -> gamma rows."""
+            wf = sum(wk[..., C_ * (1 + d):C_ * (2 + d)] for d in range(fd))
+            return -v * wf
+
+        def add_correction(S, Dginv):
+            # (Skg Dginv Sgk)[f(d,i), n_i] = v_i mu_i Dginv_i
+            # (Skg Dginv Sgk)[f(d,i), f(d2,i)] = -v_i Dginv_i
+            cn = v * mu_v * Dginv
+            cf = -v * Dginv
+            for d in range(fd):
+                rows = C_ * (1 + d) + idxC
+                S = S.at[:, rows, idxC].add(cn)
+                for d2 in range(fd):
+                    S = S.at[:, rows, C_ * (1 + d2) + idxC].add(cf)
+            return S
+
+        F_kk = 0.0  # F[:mg, :mg] is structurally zero
+    else:
+        zeros_qg = jnp.zeros((B, q, g_), dt)
+        Skg = jnp.concatenate([F[:, :mg, mg:m], zeros_qg],
+                              axis=-2)               # (B, K, g)
+        Sgk = jnp.concatenate([F[:, mg:m, :mg],
+                               jnp.swapaxes(zeros_qg, -1, -2)], axis=-1)
+        skg_apply = lambda tD: jnp.einsum("bkg,bg->bk", Skg, tD)
+        sgk_t_apply = lambda tD: jnp.einsum("bgk,bg->bk", Sgk, tD)
+        sgk_apply = lambda wk: jnp.einsum("bgk,bk->bg", Sgk, wk)
+        skg_t_apply = lambda wk: jnp.einsum("bkg,bk->bg", Skg, wk)
+        add_correction = lambda S, Dginv: S + jnp.einsum(
+            "bkg,bg,bgj->bkj", Skg, Dginv, Sgk)
+        F_kk = F[:, :mg, :mg]
 
     def factor_schur_gamma(d_inv):
         Dg = d_inv[..., mg:] + reg                   # -S_gg diagonal
         Dginv = 1.0 / Dg
         S = -P
-        S = S.at[:, :mg, :mg].add(F[:, :mg, :mg]
-                                  - d_inv[..., :mg, None] * eye_mg
+        S = S.at[:, :mg, :mg].add(F_kk - d_inv[..., :mg, None] * eye_mg
                                   - reg * eye_mg)
         if q:
             S = S.at[:, mg:, mg:].add(-reg * eye_q)
-        S_red = S + jnp.einsum("bkg,bg,bgj->bkj", Skg, Dginv, Sgk)
+        S_red = add_correction(S, Dginv)
         fac = _factor(S_red, be)
 
         def solve(rhs, trans=0):
@@ -186,13 +248,13 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
             tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
             tg = rg                                  # gamma G rows are zero
             if trans == 0:
-                rhs_red = tk + jnp.einsum("bkg,bg->bk", Skg, Dginv * tg)
+                rhs_red = tk + skg_apply(Dginv * tg)
                 wk = _solve(fac, rhs_red, be, 0)
-                wg = -Dginv * (tg - jnp.einsum("bgk,bk->bg", Sgk, wk))
+                wg = -Dginv * (tg - sgk_apply(wk))
             else:
-                rhs_red = tk + jnp.einsum("bgk,bg->bk", Sgk, Dginv * tg)
+                rhs_red = tk + sgk_t_apply(Dginv * tg)
                 wk = _solve(fac, rhs_red, be, 1)
-                wg = -Dginv * (tg - jnp.einsum("bkg,bk->bg", Skg, wk))
+                wg = -Dginv * (tg - skg_t_apply(wk))
             w_full = jnp.concatenate(
                 [wk[..., :mg], wg, wk[..., mg:]], axis=-1)
             z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
@@ -345,9 +407,16 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     else:
         diag_form = bool(q_is_diag)
     q_rank = 1 if diag_form else 2
-    single, (Q, p, G, h, A, b, F) = (lambda t: (not t[0], t[1]))(
-        _expand_batch((Q, p, G, h, A, b, F),
-                      (q_rank, 1, 2, 1, 2, 1, 2)))
+    cone = isinstance(F, ConeF)
+    if cone:
+        single, (Q, p, G, h, A, b, Fmu, Fv) = (lambda t: (not t[0], t[1]))(
+            _expand_batch((Q, p, G, h, A, b, F.mu, F.valid),
+                          (q_rank, 1, 2, 1, 2, 1, 1, 1)))
+        F = ConeF(Fmu, Fv, F.fd)
+    else:
+        single, (Q, p, G, h, A, b, F) = (lambda t: (not t[0], t[1]))(
+            _expand_batch((Q, p, G, h, A, b, F),
+                          (q_rank, 1, 2, 1, 2, 1, 2)))
     B, n = p.shape[0], p.shape[-1]
     m = G.shape[-2]
     q = A.shape[-2]
@@ -432,9 +501,12 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         # an O(n^2) matvec per iteration.
         return q_diag * z if q_diag is not None else bmv(Q, z)
 
+    def Fmv(lam):
+        return F.matvec(lam) if cone else bmv(F, lam)
+
     def kkt_residuals(z, s, lam, nu):
         rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
-        rz = bmv(G, z) + bmv(F, lam) + s - h
+        rz = bmv(G, z) + Fmv(lam) + s - h
         ry = bmv(A, z) - b
         return rx, rz, ry
 

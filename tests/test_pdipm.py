@@ -219,3 +219,54 @@ def test_row_mask_pins_padding_and_matches_unmasked():
     # and the solution is the unconstrained minimizer -Q^-1 p
     np.testing.assert_allclose(np.asarray(sol_0.z),
                                np.asarray(-p / q_diag), rtol=1e-8)
+
+
+def test_cone_f_matches_dense():
+    """Structured friction-cone F (never materialized) must agree with the
+    dense F it represents: matvec, solutions and gradients wrt mu."""
+    import numpy as np
+    from lcp_physics_tpu.lcp import ConeF, lcp_solve, lcp_solve_full
+
+    rng = np.random.default_rng(3)
+    B, n, C, fd = 5, 9, 4, 2
+    m = C * (2 + fd)
+    qd = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    p = jnp.asarray(rng.standard_normal((B, n)))
+    valid = jnp.asarray((rng.random((B, C)) < 0.7).astype(float))
+    mu = jnp.asarray(rng.uniform(0.3, 1.0, (B, C))) * valid
+    Jc = rng.standard_normal((B, C, n)) * np.asarray(valid)[..., None]
+    Jf = rng.standard_normal((B, fd * C, n)) \
+        * np.tile(np.asarray(valid), fd)[..., None]
+    G = jnp.asarray(np.concatenate([-Jc, -Jf, np.zeros((B, C, n))], axis=1))
+    jcv = jnp.einsum("bcn,bn->bc", jnp.asarray(Jc), p)
+    h = jnp.concatenate([jnp.where(valid > 0, 0.3 * jcv, 1.0),
+                         jnp.where(jnp.tile(valid, (1, fd)) > 0, 0.0, 1.0),
+                         jnp.where(valid > 0, 0.0, 1.0)], axis=-1)
+    rmask = jnp.concatenate([valid, jnp.tile(valid, (1, fd)), valid], -1)
+    Fc = ConeF(mu=mu, valid=valid, fd=fd)
+    Fd = Fc.dense()
+    lam_t = jnp.asarray(rng.standard_normal((B, m)))
+    np.testing.assert_allclose(
+        np.asarray(Fc.matvec(lam_t)),
+        np.asarray(jnp.einsum("bij,bj->bi", Fd, lam_t)), atol=1e-13)
+
+    kw = dict(max_iter=25, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask)
+    sc = lcp_solve_full(qd, p, G, h, None, None, Fc, **kw)
+    sd = lcp_solve_full(qd, p, G, h, None, None, Fd, **kw)
+    np.testing.assert_allclose(np.asarray(sc.z), np.asarray(sd.z),
+                               atol=1e-10)
+
+    def loss(mu_, use_cone):
+        F = ConeF(mu_, valid, fd)
+        z = lcp_solve(qd, p, G, h, None, None,
+                      F if use_cone else F.dense(), **kw)
+        return jnp.sum(z ** 2)
+
+    g_c = jax.grad(loss)(mu, True)
+    g_d = jax.grad(loss)(mu, False)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d), atol=1e-10)
+    eps = 1e-6
+    fd_ = (loss(mu.at[0, 0].add(eps), True)
+           - loss(mu.at[0, 0].add(-eps), True)) / (2 * eps)
+    np.testing.assert_allclose(float(g_c[0, 0]), float(fd_), rtol=1e-4)

@@ -404,3 +404,24 @@ def test_no_penetration_across_restitution_sweep():
         # ball never sinks below the surface beyond tol: center y <= -2+tol
         max_y = float(jnp.max(traj.p[:, 0, 2]))
         assert max_y <= -2.0 + 1e-4, f"e={e}: penetration {max_y + 2.0}"
+
+
+def test_blocked_pallas_backend_trajectory_matches_xla():
+    """World trajectories through the BLOCKED pallas factorization path
+    (Schur system > MAX_LANE_N rows) match the pivoted XLA backend."""
+    static, params = circle_world(12, c_max=32, gravity=(0.0, G))
+    # Schur size = c_max*(1+fd) + q = 96 > 88 -> blocked kernel
+    rng = np.random.default_rng(9)
+    base = np.stack([np.arange(12) * 2.0, np.zeros(12)], -1)
+    pos = base + rng.uniform(-0.08, 0.08, (12, 2))
+    s0 = WorldState(
+        p=jnp.asarray(np.concatenate([np.zeros((12, 1)), pos], -1)),
+        v=jnp.asarray(rng.normal(0, 0.5, (12, 3))), t=jnp.zeros(()))
+    trajs = {}
+    for be in ("xla", "pallas"):
+        step = make_step(static, SimConfig(lcp_backend=be, max_iter=20,
+                                           solver_eps=1e-9))
+        _, trajs[be] = rollout(jax.jit(step), params, s0, DT, 20)
+    np.testing.assert_allclose(np.asarray(trajs["pallas"].p),
+                               np.asarray(trajs["xla"].p),
+                               atol=1e-6)
