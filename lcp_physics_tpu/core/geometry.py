@@ -383,9 +383,42 @@ def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None):
 
 def max_penetration(p, verts, radius, counts, pairs):
     """Deepest penetration in the world (for the strict-no-penetration
-    dt-halving backtrack; reference ``World.step`` SURVEY.md §3.1)."""
-    big_c = sum(len(v[0]) for v in pairs.values()) * 2
-    if big_c == 0:
-        return jnp.zeros((), p.dtype)
-    cts = find_contacts(p, verts, radius, counts, pairs, big_c)
-    return jnp.max(jnp.where(cts.valid, cts.depth, 0.0), initial=0.0)
+    dt-halving backtrack; reference ``World.step`` SURVEY.md §3.1).
+
+    Depth-only fast path: per-pair signed depths (SAT separation for
+    hull pairs) reduced with a max — no contact buffer, no top_k
+    compaction, no point/normal generation.  Used by the stepper's
+    post-step diagnostics every step.
+    """
+    dt = p.dtype
+    pos = p[:, 1:3]
+    wv = world_vertices(verts, p)
+    counts_j = jnp.asarray(np.asarray(counts))
+    best = jnp.zeros((), dt)
+
+    cc_i, cc_j = pairs["cc"]
+    if len(cc_i):
+        d = jax.vmap(lambda i, j: circle_circle(
+            pos[i], radius[i], pos[j], radius[j])[3])(cc_i, cc_j)
+        best = jnp.maximum(best, jnp.max(d, initial=0.0))
+
+    ch_i, ch_j = pairs["ch"]
+    if len(ch_i):
+        d = jax.vmap(lambda i, j: circle_hull(
+            pos[i], radius[i], wv[j], counts_j[j])[3])(ch_i, ch_j)
+        best = jnp.maximum(best, jnp.max(d, initial=0.0))
+
+    hh_i, hh_j = pairs["hh"]
+    if len(hh_i):
+        def sat_depth(i, j):
+            _, _, _, na, eva = _edge_data(wv[i], counts_j[i])
+            _, _, _, nb, evb = _edge_data(wv[j], counts_j[j])
+            sep_a = jnp.max(_face_separation(na, wv[i], eva, wv[j],
+                                             counts_j[j]))
+            sep_b = jnp.max(_face_separation(nb, wv[j], evb, wv[i],
+                                             counts_j[i]))
+            return -jnp.maximum(sep_a, sep_b)
+
+        d = jax.vmap(sat_depth)(hh_i, hh_j)
+        best = jnp.maximum(best, jnp.max(d, initial=0.0))
+    return best

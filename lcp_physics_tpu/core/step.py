@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from lcp_physics_tpu.core.geometry import find_contacts
+from lcp_physics_tpu.core.geometry import find_contacts, max_penetration
 from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
                                             assemble_Je,
                                             constraint_position_error)
@@ -194,7 +194,7 @@ def _max_depth(contacts, dtype):
                    axis=-1, initial=0.0).astype(dtype)
 
 
-def _diagnostics(contacts, post_contacts, C, dtype):
+def _diagnostics(contacts, post_pen, C, dtype):
     lead = contacts.valid.shape[:-1]
     if C == 0:
         z = jnp.zeros(lead, dtype)
@@ -202,7 +202,7 @@ def _diagnostics(contacts, post_contacts, C, dtype):
     return StepDiagnostics(
         jnp.sum(contacts.valid & (contacts.depth > 0),
                 axis=-1).astype(jnp.int32),
-        jax.lax.stop_gradient(_max_depth(post_contacts, dtype)),
+        jax.lax.stop_gradient(post_pen.astype(dtype)),
         _max_depth(contacts, dtype))
 
 
@@ -216,7 +216,8 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
     # (shape inference would misread the stacked (B, 3N) diagonal as a
     # shared dense Q whenever B == 3N).
     solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
-                     backend=config.lcp_backend, q_is_diag=True)
+                     backend=config.lcp_backend, q_is_diag=True,
+                     refine=config.solver_refine)
     # trailing C inequality rows are the friction-cone slack block
     # (zero G rows, diagonal Schur block) -> analytic elimination
     dyn_kw = dict(solver_kw, gamma_rows=C)
@@ -233,9 +234,9 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
             ps = assemble_ps(params, p_new)
             p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(N, 3)
         new_state = WorldState(p=p_new, v=v_new, t=state.t + dt)
-        post = (find_contacts(jax.lax.stop_gradient(p_new), params.verts,
-                              params.radius, counts, pairs, C)
-                if C else contacts)
+        post = (max_penetration(jax.lax.stop_gradient(p_new), params.verts,
+                                params.radius, counts, pairs)
+                if C else jnp.zeros((), state.p.dtype))
         return new_state, _diagnostics(contacts, post, C, state.p.dtype)
 
     return step
@@ -254,16 +255,17 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     # diagonal into (B, 3N), which shape inference cannot distinguish from
     # a shared dense Q when B == 3N (ADVICE r1, high).
     solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
-                     backend=config.lcp_backend, q_is_diag=True)
+                     backend=config.lcp_backend, q_is_diag=True,
+                     refine=config.solver_refine)
     assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, None))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
     dyn_kw = dict(solver_kw, gamma_rows=C)
 
     pairs = static.pair_lists()
     counts = static.counts_np()
-    find_b = jax.vmap(
-        lambda p, verts, radius: find_contacts(p, verts, radius, counts,
-                                               pairs, C),
+    pen_b = jax.vmap(
+        lambda p, verts, radius: max_penetration(p, verts, radius, counts,
+                                                 pairs),
         in_axes=(0, p_ax, p_ax))
 
     def step_tile(params, states, dt):
@@ -276,8 +278,9 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
             ps = assemble_ps_b(params, p_new)
             p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(B, N, 3)
         new_states = WorldState(p=p_new, v=v_new, t=states.t + dt)
-        post = (find_b(jax.lax.stop_gradient(p_new), params.verts,
-                       params.radius) if C else contacts)
+        post = (pen_b(jax.lax.stop_gradient(p_new), params.verts,
+                      params.radius) if C
+                else jnp.zeros((B,), states.p.dtype))
         return new_states, _diagnostics(contacts, post, C, states.p.dtype)
 
     tile = config.batch_tile

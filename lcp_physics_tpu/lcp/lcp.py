@@ -46,25 +46,28 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
-                    diag_q, gamma_rows):
+                    diag_q, gamma_rows, refine):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
-                      gamma_rows=gamma_rows, row_mask=row_mask)
+                      gamma_rows=gamma_rows, row_mask=row_mask,
+                      refine=refine)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
-             gamma_rows):
+             gamma_rows, refine):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
-                      gamma_rows=gamma_rows, row_mask=row_mask)
+                      gamma_rows=gamma_rows, row_mask=row_mask,
+                      refine=refine)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
-def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
+def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
+             residuals, g):
     z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
@@ -97,7 +100,8 @@ def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, residuals, g):
                          consts["dinv_max"])
         kkt = make_kkt_factor(Q, Q if diag_q else None, G, A, F,
                               consts["reg"], backend,
-                              gamma_rows if diag_q else 0)(d_inv)
+                              gamma_rows if diag_q else 0,
+                              refine=refine)(d_inv)
         rhs = jnp.concatenate(
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
         w = kkt(rhs, trans=1)
@@ -184,7 +188,7 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
-              q_is_diag=None, row_mask=None):
+              q_is_diag=None, row_mask=None, refine=0):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -204,13 +208,13 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     if row_mask is not None:
         row_mask = jnp.asarray(row_mask, h.dtype)
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
-                           backend, diag_q, gamma_rows)
+                           backend, diag_q, gamma_rows, refine)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
                    gamma_rows=0, q_is_diag=None,
-                   row_mask=None) -> PdipmSolution:
+                   row_mask=None, refine=0) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -220,7 +224,8 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
         row_mask = jnp.asarray(row_mask, h.dtype)
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                        backend=backend, q_is_diag=diag_q,
-                       gamma_rows=gamma_rows, row_mask=row_mask)
+                       gamma_rows=gamma_rows, row_mask=row_mask,
+                       refine=refine)
 
 
 class LCPFunction:

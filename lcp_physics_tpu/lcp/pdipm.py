@@ -89,7 +89,8 @@ def resolve_backend(backend: str, nk: int = None) -> str:
     return "pallas"
 
 
-def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
+def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
+                    refine=0):
     """KKT solve operator factory.
 
     Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
@@ -120,8 +121,10 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
 
         def factor_dense(d_inv):
             be = resolve_backend(backend, n + m + q)
-            fac = _factor(_assemble_kkt(Q, G, A, F, d_inv, reg), be)
-            return lambda rhs, trans=0: _solve(fac, rhs, be, trans)
+            K = _assemble_kkt(Q, G, A, F, d_inv, reg)
+            fac = _factor(K, be)
+            return lambda rhs, trans=0: _solve_refined(fac, K, rhs, be,
+                                                       trans, refine)
 
         return factor_dense
 
@@ -148,7 +151,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
             def solve(rhs, trans=0):
                 r1, r2 = rhs[..., :n], rhs[..., n:]
                 t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
-                w = _solve(fac, t, be, trans)
+                w = _solve_refined(fac, S, t, be, trans, refine)
                 z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
                 return jnp.concatenate([z, w], axis=-1)
 
@@ -241,6 +244,9 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
         S_red = add_correction(S, Dginv)
         fac = _factor(S_red, be)
 
+        def solve_red(rhs_red, trans):
+            return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
+
         def solve(rhs, trans=0):
             r1, r2 = rhs[..., :n], rhs[..., n:]
             rk = jnp.concatenate([r2[..., :mg], r2[..., m:]], axis=-1)
@@ -249,11 +255,11 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0):
             tg = rg                                  # gamma G rows are zero
             if trans == 0:
                 rhs_red = tk + skg_apply(Dginv * tg)
-                wk = _solve(fac, rhs_red, be, 0)
+                wk = solve_red(rhs_red, 0)
                 wg = -Dginv * (tg - sgk_apply(wk))
             else:
                 rhs_red = tk + sgk_t_apply(Dginv * tg)
-                wk = _solve(fac, rhs_red, be, 1)
+                wk = solve_red(rhs_red, 1)
                 wg = -Dginv * (tg - skg_t_apply(wk))
             w_full = jnp.concatenate(
                 [wk[..., :mg], wg, wk[..., mg:]], axis=-1)
@@ -274,6 +280,17 @@ def _factor(K, backend):
 
 
 _XLA_SOLVE_CHUNK = 1024
+
+
+def _solve_refined(fac, K, rhs, backend, trans=0, refine=0):
+    """Solve with optional iterative-refinement steps (recovers the digit
+    an f32 factorization loses; exact no-op change at f64)."""
+    x = _solve(fac, rhs, backend, trans)
+    Kop = K if trans == 0 else jnp.swapaxes(K, -1, -2)
+    for _ in range(refine):
+        r = rhs - jnp.einsum("bij,bj->bi", Kop, x)
+        x = x + _solve(fac, r, backend, trans)
+    return x
 
 
 def _solve(fac, rhs, backend, trans=0):
@@ -376,7 +393,7 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
-                gamma_rows=0, q_is_diag=None, row_mask=None):
+                gamma_rows=0, q_is_diag=None, row_mask=None, refine=0):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -473,10 +490,15 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 jnp.where(maskb, lam, consts["tiny"]))
 
     kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
-                                 gamma_rows if q_diag is not None else 0)
+                                 gamma_rows if q_diag is not None else 0,
+                                 refine=refine)
 
     # ---- Initialization: one Newton step from the origin with d_inv = 1,
     # then shift (s, lam) into the strict interior (qpth-style start).
+    # (An IPM warm start from the previous rollout step was tried in round
+    # 2 and measured WORSE at small iteration budgets — the previous
+    # solution sits on the boundary and the first centering steps stall —
+    # so cold start + best-iterate remains the only path.)
     ones_m = jnp.ones((B, m), dt)
     rhs0 = jnp.concatenate([-p, h, b], axis=-1)
     sol0 = kkt_factor(ones_m)(rhs0)

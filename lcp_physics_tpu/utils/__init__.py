@@ -99,6 +99,10 @@ class SimConfig:
     # KKT factorization backend: 'auto' (pallas on TPU, xla elsewhere),
     # 'xla' (batched pivoted LU), or 'pallas' (lane-batched pivotless LU).
     lcp_backend: str = "auto"
+    # Iterative-refinement steps per KKT solve (0 = off).  One step
+    # recovers the digit the f32 pivotless factor loses on contact-rich
+    # scenes (PERF.md) at ~+30% per-iteration cost; no effect in f64.
+    solver_refine: int = 0
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
     # what lets a single chip run the 4096 x 64-body stretch config.

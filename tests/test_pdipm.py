@@ -270,3 +270,20 @@ def test_cone_f_matches_dense():
     fd_ = (loss(mu.at[0, 0].add(eps), True)
            - loss(mu.at[0, 0].add(-eps), True)) / (2 * eps)
     np.testing.assert_allclose(float(g_c[0, 0]), float(fd_), rtol=1e-4)
+
+
+def test_refine_matches_unrefined_f64():
+    """Iterative refinement is a no-op at f64 precision (same solutions);
+    the knob exists to recover f32 digits on TPU (PERF.md)."""
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    rng = np.random.default_rng(8)
+    n, m = 7, 5
+    qd = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    p = jnp.asarray(rng.standard_normal(n))
+    G = jnp.asarray(rng.standard_normal((m, n)))
+    h = jnp.asarray(G @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m))
+    z0 = lcp_solve(qd, p, G, h, max_iter=25, tol=1e-11, gamma_rows=0)
+    z1 = lcp_solve(qd, p, G, h, max_iter=25, tol=1e-11, gamma_rows=0,
+                   refine=1)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-9)
