@@ -54,6 +54,17 @@ class Constraint:
         J2 = Je[:, 3:6] if body2 is not None else None
         return J1, J2
 
+    def move(self, dt=None):
+        """Reference API compatibility (no-op): the reference mutates
+        per-constraint anchor caches after each integration step; here
+        anchors are recomputed from the body poses inside the jitted step
+        (core/jacobians.py), so there is no host-side cache to advance."""
+        return None
+
+    def update_pos(self, dt=None):
+        """Reference API compatibility (no-op); see :meth:`move`."""
+        return None
+
     def draw(self, screen, pixels_per_meter=1):
         pass
 
