@@ -373,12 +373,19 @@ def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None):
         return Contacts(normal, ra, rb, depth, ia, ib, valid)
 
     # Compaction: keep the c_max deepest valid contacts.  Scores of invalid
-    # slots are pushed below every valid slot.
+    # slots are pushed below every valid slot.  The differentiable fields
+    # are packed into ONE gather so the backward pass issues a single
+    # scatter-add instead of four (scatters dominate the assembly vjp).
     score = jnp.where(valid, depth, -jnp.inf)
     _, keep = jax.lax.top_k(score, c_max)
     keep = jax.lax.stop_gradient(keep)
-    return Contacts(normal[keep], ra[keep], rb[keep], depth[keep],
-                    ia[keep], ib[keep], valid[keep])
+    packed = jnp.concatenate(
+        [normal, ra, rb, depth[:, None]], axis=-1)[keep]   # (c_max, 7)
+    ints = jnp.stack(
+        [ia, ib, valid.astype(jnp.int32)], axis=-1)[keep]  # (c_max, 3)
+    return Contacts(packed[:, 0:2], packed[:, 2:4], packed[:, 4:6],
+                    packed[:, 6], ints[:, 0], ints[:, 1],
+                    ints[:, 2].astype(bool))
 
 
 def max_penetration(p, verts, radius, counts, pairs):

@@ -35,8 +35,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_B = 128      # worlds per grid cell (vector lanes)
+LANE_B = 128      # minimum worlds per grid cell (one vector-lane tile)
 _SUBLANE = 8      # f32 sublane quantum
+
+
+def _lane_tile(n_pad, itemsize=4):
+    """Worlds per grid cell for the lane-batched kernels: as many 128-lane
+    tiles as fit the VMEM budget (in+out staged ~4x despite aliasing).
+    Small systems pack several hundred worlds per cell, cutting the number
+    of sequential elimination loops by the same factor."""
+    budget = 12 * 1024 * 1024
+    per_lane = n_pad * n_pad * itemsize * 4
+    L = max(1, budget // (per_lane * LANE_B)) * LANE_B
+    return int(min(L, 1024))
 # Lane-batching needs the whole (n, n, 128) tile resident in VMEM; the
 # Mosaic pipeline stages in+out double-buffered (4 tiles live), and VMEM is
 # 16 MB, so tiles must stay <= ~4 MB: n_pad <= 88.  Larger systems use the
@@ -286,7 +297,8 @@ def plu_factor(K):
         return ("blocked", _blocked_lu(K), (B, n))
     dt = K.dtype
     n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
-    B_pad = _ru(max(B, 1), LANE_B)
+    L = _lane_tile(n_pad, jnp.dtype(dt).itemsize)
+    B_pad = _ru(max(B, 1), L)
 
     Kp = jnp.zeros((B_pad, n_pad, n_pad), dt)
     Kp = Kp.at[:B, :n, :n].set(K)
@@ -300,11 +312,11 @@ def plu_factor(K):
 
     lu_t = pl.pallas_call(
         _lu_kernel,
-        grid=(B_pad // LANE_B,),
-        in_specs=[pl.BlockSpec((n_pad, n_pad, LANE_B),
+        grid=(B_pad // L,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, L),
                                lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n_pad, n_pad, LANE_B), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((n_pad, n_pad, L), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, B_pad), dt),
         input_output_aliases={0: 0},  # factor in place: one VMEM buffer
@@ -383,19 +395,20 @@ def plu_solve(fac, r, trans=0):
     _, lu_t, (B, n) = fac
     n_pad, _, B_pad = lu_t.shape
     dt = lu_t.dtype
+    L = _lane_tile(n_pad, jnp.dtype(dt).itemsize)
     rp = jnp.zeros((B_pad, n_pad), dt).at[:B, :n].set(r)
     rt = rp.T  # (n_pad, B_pad)
 
     x_t = pl.pallas_call(
         partial(_solve_kernel, trans),
-        grid=(B_pad // LANE_B,),
+        grid=(B_pad // L,),
         in_specs=[
-            pl.BlockSpec((n_pad, n_pad, LANE_B), lambda i: (0, 0, i),
+            pl.BlockSpec((n_pad, n_pad, L), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, LANE_B), lambda i: (0, i),
+            pl.BlockSpec((n_pad, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_pad, LANE_B), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_pad, L), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, B_pad), dt),
         interpret=_interpret(),
