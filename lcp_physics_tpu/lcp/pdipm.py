@@ -69,7 +69,10 @@ def _dtype_consts(dtype):
 
 def resolve_backend(backend: str, nk: int = None) -> str:
     """'auto' -> 'pallas' on TPU when the lane-batched kernels support the
-    system size, else 'xla'."""
+    system size, else 'xla'.  'fused' (the whole-IPM kernel) resolves like
+    'auto' for the individual factor/solve calls that remain outside it."""
+    if backend == "fused":
+        backend = "auto"
     if backend == "pallas" and nk is not None:
         from lcp_physics_tpu.ops.linalg import pallas_supported
 
@@ -493,6 +496,21 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                                  gamma_rows if q_diag is not None else 0,
                                  refine=refine)
 
+    # ---- Fused whole-IPM kernel dispatch (ops/ipm.py): engine layout
+    # (diag Q + ConeF + gamma elimination) with a small Schur system.
+    # backend='fused' forces it (interpret mode off-TPU, for tests);
+    # 'auto'/'pallas' use it automatically on TPU.
+    fuse = False
+    if (cone and q_diag is not None and gamma_rows == F.C
+            and refine == 0 and max_iter > 0):
+        from lcp_physics_tpu.ops.ipm import fused_supported
+
+        if fused_supported(m - F.C, q, F.C, F.fd):
+            if backend == "fused":
+                fuse = True
+            elif backend in ("auto", "pallas"):
+                fuse = jax.default_backend() in ("tpu", "axon")
+
     # ---- Initialization: one Newton step from the origin with d_inv = 1,
     # then shift (s, lam) into the strict interior (qpth-style start).
     # (An IPM warm start from the previous rollout step was tried in round
@@ -509,6 +527,17 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     shift_l = jax.nn.relu(1.0 - masked_min(lam))
     lam = lam + shift_l[..., None]
     s, lam = pin(s, lam)
+
+    if fuse:
+        from lcp_physics_tpu.ops.ipm import fused_ipm
+
+        rm = (row_mask if row_mask is not None
+              else jnp.ones((B, m), dt))
+        z, s, lam, nu, mu_c, resid, iters = fused_ipm(
+            q_diag, p, G, h, A, b, F.mu, F.valid, rm, z, s, lam, nu,
+            C=F.C, fd=F.fd, max_iter=max_iter, tol=tol, consts=consts)
+        return maybe_squeeze(PdipmSolution(
+            z, s, lam, nu, mu_c, resid, iters))
 
     big = jnp.asarray(jnp.finfo(dt).max / 8, dt)
     GT = jnp.swapaxes(G, -1, -2)
