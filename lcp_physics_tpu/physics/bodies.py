@@ -164,6 +164,16 @@ class Hull(Body):
                        - np.roll(verts[:, 0], -1) * verts[:, 1])
         if area2 < 0:
             verts = verts[::-1].copy()
+        # The SAT/clipping narrowphase assumes CONVEX polygons; a concave
+        # input would produce silently wrong contacts, so reject it here
+        # (cross product of consecutive edges must not change sign).
+        e = np.roll(verts, -1, axis=0) - verts
+        turns = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+        scale = max(float(np.abs(turns).max()), 1e-30)
+        if np.any(turns < -1e-9 * scale):
+            raise ValueError(
+                "Hull vertices must describe a convex polygon "
+                "(counter-clockwise); got a concave corner")
         centroid = np.asarray(polygon_centroid(jnp.asarray(verts)))
         self.verts = verts - centroid
         pos = np.array(pos, float)  # copy: never mutate the caller's array

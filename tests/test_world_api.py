@@ -295,3 +295,12 @@ def test_resting_ball_reports_contact_and_no_warnings():
             if "halving budget" in str(r.message)] == []
     assert 18.7 <= float(ball.p[2]) <= 19.05
     assert len(w.find_collisions()) >= 1
+
+
+def test_hull_rejects_concave():
+    """The SAT narrowphase assumes convex hulls; concave input raises
+    instead of silently producing wrong contacts."""
+    with pytest.raises(ValueError, match="convex"):
+        Hull([0.0, 0.0], [[0, 0], [4, 0], [4, 4], [2, 1], [0, 4]])
+    # convex (any winding) still fine
+    Hull([0.0, 0.0], [[0, 0], [0, 4], [4, 4], [4, 0]])
