@@ -217,7 +217,8 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
     # shared dense Q whenever B == 3N).
     solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
                      backend=config.lcp_backend, q_is_diag=True,
-                     refine=config.solver_refine)
+                     refine=config.solver_refine,
+                     not_improved_lim=config.solver_stall_lim)
     # trailing C inequality rows are the friction-cone slack block
     # (zero G rows, diagonal Schur block) -> analytic elimination
     dyn_kw = dict(solver_kw, gamma_rows=C)
@@ -256,7 +257,8 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     # a shared dense Q when B == 3N (ADVICE r1, high).
     solver_kw = dict(max_iter=config.max_iter, tol=config.solver_eps,
                      backend=config.lcp_backend, q_is_diag=True,
-                     refine=config.solver_refine)
+                     refine=config.solver_refine,
+                     not_improved_lim=config.solver_stall_lim)
     assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, None))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
     dyn_kw = dict(solver_kw, gamma_rows=C)

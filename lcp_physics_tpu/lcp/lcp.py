@@ -46,28 +46,28 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
-                    diag_q, gamma_rows, refine):
+                    diag_q, gamma_rows, refine, not_improved_lim):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
-                      refine=refine)
+                      refine=refine, not_improved_lim=not_improved_lim)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
-             gamma_rows, refine):
+             gamma_rows, refine, not_improved_lim):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
-                      refine=refine)
+                      refine=refine, not_improved_lim=not_improved_lim)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
-             residuals, g):
+             not_improved_lim, residuals, g):
     z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
@@ -188,7 +188,8 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
-              q_is_diag=None, row_mask=None, refine=0):
+              q_is_diag=None, row_mask=None, refine=0,
+              not_improved_lim=3):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -208,13 +209,15 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     if row_mask is not None:
         row_mask = jnp.asarray(row_mask, h.dtype)
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
-                           backend, diag_q, gamma_rows, refine)
+                           backend, diag_q, gamma_rows, refine,
+                           not_improved_lim)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
                    gamma_rows=0, q_is_diag=None,
-                   row_mask=None, refine=0) -> PdipmSolution:
+                   row_mask=None, refine=0,
+                   not_improved_lim=3) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -225,7 +228,7 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                        backend=backend, q_is_diag=diag_q,
                        gamma_rows=gamma_rows, row_mask=row_mask,
-                       refine=refine)
+                       refine=refine, not_improved_lim=not_improved_lim)
 
 
 class LCPFunction:
@@ -235,9 +238,9 @@ class LCPFunction:
 
     In JAX the differentiable entry point is :func:`lcp_solve`; this class
     maps the reference's constructor knobs onto it so reference user code
-    ports mechanically.  ``notImprovedLim`` has no direct analog (the
-    batched solver freezes converged/diverged instances and returns its
-    best iterate automatically) and is accepted for signature parity.
+    ports mechanically.  ``notImprovedLim`` maps to the solver's
+    per-instance stall exit (``not_improved_lim``): an instance whose merit
+    stops improving for that many iterations freezes at its best iterate.
     """
 
     def __init__(self, eps=1e-7, verbose=0, notImprovedLim=3, maxIter=20,
@@ -253,5 +256,6 @@ class LCPFunction:
     def __call__(self, Q, p, G, h, A=None, b=None, F=None):
         self.zhats = lcp_solve(Q, p, G, h, A, b, F,
                                max_iter=self.maxIter, tol=self.eps,
-                               backend=self.backend)
+                               backend=self.backend,
+                               not_improved_lim=self.notImprovedLim)
         return self.zhats

@@ -396,7 +396,8 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
-                gamma_rows=0, q_is_diag=None, row_mask=None, refine=0):
+                gamma_rows=0, q_is_diag=None, row_mask=None, refine=0,
+                not_improved_lim=3):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -413,6 +414,15 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     test, so convergence is governed only by the physically active rows —
     a world with few active contacts no longer spends interior-point
     iterations centering its padding.
+
+    ``not_improved_lim`` (0 = off): per-instance stall exit — an instance
+    whose merit (complementarity + KKT residual) has not improved on its
+    best for this many consecutive iterations freezes at its best iterate.
+    This is the reference's ``notImprovedLim`` early exit (reference
+    ``lcp_physics/lcp/solvers/batch.py::forward``), and it matters most at
+    f32: contact-rich systems plateau at the f32 conditioning floor well
+    above ``tol``, and without a stall exit they burn every remaining
+    iteration making no progress.
 
     Returns a :class:`PdipmSolution`.
     """
@@ -535,7 +545,8 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
               else jnp.ones((B, m), dt))
         z, s, lam, nu, mu_c, resid, iters = fused_ipm(
             q_diag, p, G, h, A, b, F.mu, F.valid, rm, z, s, lam, nu,
-            C=F.C, fd=F.fd, max_iter=max_iter, tol=tol, consts=consts)
+            C=F.C, fd=F.fd, max_iter=max_iter, tol=tol, consts=consts,
+            not_improved_lim=not_improved_lim)
         return maybe_squeeze(PdipmSolution(
             z, s, lam, nu, mu_c, resid, iters))
 
@@ -569,7 +580,7 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                         jnp.max(jnp.abs(ry), axis=-1, initial=0.0)))
 
     def body(i, carry):
-        z, s, lam, nu, best, best_merit, done, iters = carry
+        z, s, lam, nu, best, best_merit, done, iters, stall = carry
 
         rx, rz, ry = kkt_residuals(z, s, lam, nu)
         mu = comp_mu(s, lam)
@@ -581,7 +592,14 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
             (z, s, lam, nu), best)
         best_merit = jnp.minimum(merit, best_merit)
 
-        new_done = done | (merit < tol)
+        # Reference notImprovedLim: stall counter per instance.  A stalled
+        # instance freezes (its best iterate is returned below); iteration
+        # i=0 always counts as improved (best_merit starts at +big).
+        stall = jnp.where(improved, 0, stall + 1)
+        stalled = (stall >= not_improved_lim) if not_improved_lim > 0 \
+            else jnp.zeros_like(done)
+
+        new_done = done | (merit < tol) | stalled
         iters = jnp.where(new_done & ~done, i, iters)
 
         if verbose:  # reference 'verbose' residual dump (SURVEY.md §5.1)
@@ -632,26 +650,27 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         keep = lambda new, old: jnp.where(halt[..., None], old, new)
         z, s, lam, nu = (keep(z_n, z), keep(s_n, s),
                          keep(lam_n, lam), keep(nu_n, nu))
-        return z, s, lam, nu, best, best_merit, halt | done, iters
+        return z, s, lam, nu, best, best_merit, halt | done, iters, stall
 
     init = (jnp.asarray(0, jnp.int32),
             (z, s, lam, nu, (z, s, lam, nu), jnp.full((B,), big, dt),
-             jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32)))
+             jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32),
+             jnp.zeros((B,), jnp.int32)))
 
     # Early exit once EVERY instance has converged/frozen: the custom_vjp
     # wrapper differentiates via the implicit KKT system, never through
     # this loop, so a while_loop costs nothing in reverse mode and saves
     # the tail iterations (typical scenes converge in ~6-8 of max 15-20).
     def cond(carry):
-        i, (_, _, _, _, _, _, done, _) = carry
+        i, (_, _, _, _, _, _, done, _, _) = carry
         return (i < max_iter) & ~jnp.all(done)
 
     def wl_body(carry):
         i, inner = carry
         return i + 1, body(i, inner)
 
-    _, (z, s, lam, nu, best, best_merit, done, iters) = jax.lax.while_loop(
-        cond, wl_body, init)
+    _, (z, s, lam, nu, best, best_merit, done, iters, _) = \
+        jax.lax.while_loop(cond, wl_body, init)
 
     # Return the best iterate seen (covers non-monotone tails, mirroring
     # the reference's notImprovedLim best-iterate fallback).

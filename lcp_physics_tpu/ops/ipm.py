@@ -70,7 +70,7 @@ def _structure_masks(C, fd, q):
     return Mn, Mf
 
 
-def _fused_ipm_kernel(dims, consts, max_iter, tol, fd,
+def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                       P_ref, Ghat_ref, Mn_ref, Mf_ref, qinv_ref, p_ref,
                       h_ref, b_ref, mu_ref, valid_ref, rmask_ref,
                       z0_ref, s0_ref, lam0_ref, nu0_ref,
@@ -186,7 +186,13 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd,
                                                 best_ref[n + 2 * m:, :])
             state_ref[0, :] = jnp.minimum(merit, best_merit)
 
-            new_done = done | (merit < tol)
+            # reference notImprovedLim stall exit (state row 3)
+            stall = state_ref[pl.ds(3, 1), :][0]
+            stall = jnp.where(improved[0], 0.0, stall + 1.0)
+            state_ref[3, :] = stall
+            stalled = (stall >= not_improved_lim if not_improved_lim > 0
+                       else jnp.zeros_like(done))
+            new_done = done | (merit < tol) | stalled
             iters = state_ref[pl.ds(2, 1), :][0]
             state_ref[2, :] = jnp.where(new_done & ~done,
                                         jnp.float32(it), iters)
@@ -294,6 +300,7 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd,
     state_ref[0, :] = jnp.full((L,), big, dt)      # best_merit
     state_ref[1, :] = jnp.zeros((L,), dt)          # done flags
     state_ref[2, :] = jnp.full((L,), jnp.float32(max_iter), dt)  # iters
+    state_ref[3, :] = jnp.zeros((L,), dt)          # stall counters
     flag_ref[0] = 0
 
     jax.lax.fori_loop(0, max_iter, body, 0)
@@ -318,7 +325,8 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd,
 
 
 def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
-              z0, s0, lam0, nu0, *, C, fd, max_iter, tol, consts):
+              z0, s0, lam0, nu0, *, C, fd, max_iter, tol, consts,
+              not_improved_lim=0):
     """Run the fused IPM loop.  Inputs in the solver's (B, ...) layout;
     the gamma rows of G must be zero (engine layout).  Returns
     (z, s, lam, nu, mu, resid, iters)."""
@@ -367,7 +375,8 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
 
     dims = (n, m, q, C)
     out = pl.pallas_call(
-        partial(_fused_ipm_kernel, dims, consts, max_iter, tol, fd),
+        partial(_fused_ipm_kernel, dims, consts, max_iter, tol, fd,
+                not_improved_lim),
         grid=(B_pad // L,),
         in_specs=[mat(K, K), mat(K, n), full(K, K), full(K, K),
                   vec(n), vec(n), vec(m), vec(qp1),

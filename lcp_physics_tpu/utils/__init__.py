@@ -103,6 +103,12 @@ class SimConfig:
     # recovers the digit the f32 pivotless factor loses on contact-rich
     # scenes (PERF.md) at ~+30% per-iteration cost; no effect in f64.
     solver_refine: int = 0
+    # Reference notImprovedLim: per-instance IPM stall exit — freeze an
+    # instance at its best iterate after this many consecutive
+    # non-improving iterations (0 = off).  At f32, contact-rich systems
+    # plateau at the conditioning floor above solver_eps; without this the
+    # solver burns its full iteration budget making no progress.
+    solver_stall_lim: int = 3
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
     # what lets a single chip run the 4096 x 64-body stretch config.
