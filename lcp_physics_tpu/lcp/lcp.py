@@ -68,6 +68,14 @@ def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
              not_improved_lim, residuals, g):
+    from lcp_physics_tpu.lcp.pdipm import _precision_ctx
+    with _precision_ctx():
+        return _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows,
+                             refine, residuals, g)
+
+
+def _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows, refine,
+                  residuals, g):
     z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.

@@ -61,6 +61,27 @@ class PdipmSolution(NamedTuple):
     iters: jax.Array  # per-instance iterations to convergence (B,) int32
 
 
+# Mixed-precision scheme.  XLA's default f32 dot precision on TPU is
+# single-pass bf16 — measured (PERF.md): it floors the achievable KKT
+# residual at ~3e-3 on 384-row contact systems regardless of backend or
+# refinement (previously mislabeled the "f32 conditioning floor").  The
+# IPM is self-correcting: an INEXACT search direction (factor + solve at
+# fast bf16) is repaired by later iterations as long as the RESIDUALS
+# feeding each right-hand side are computed accurately.  So:
+#   * residual matvecs, RHS assembly, P = Ghat Q^-1 Ghat^T, and the
+#     refinement matvec run at 'highest' (3-pass f32 on the MXU);
+#   * the per-iteration factor and triangular solves stay at the fast
+#     default precision;
+#   * one-shot solves with no outer loop to correct them (the implicit
+#     gradient's transposed KKT solve, solve_eq_kkt) run entirely at
+#     'highest'.
+SOLVER_MATMUL_PRECISION = "highest"
+
+
+def _precision_ctx():
+    return jax.default_matmul_precision(SOLVER_MATMUL_PRECISION)
+
+
 def _dtype_consts(dtype):
     if dtype == jnp.float64:
         return dict(dinv_min=1e-12, dinv_max=1e12, reg=1e-11, tiny=1e-300)
@@ -140,7 +161,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             F = F.dense()
         be = resolve_backend(backend, mq)
         Ghat = jnp.concatenate([G, A], axis=-2)      # (B, mq, n)
-        P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
+        with _precision_ctx():
+            P = jnp.einsum("bmn,bn,bkn->bmk", Ghat, qinv, Ghat)
         eye_m = jnp.eye(m, dtype=dt)
 
         def factor_schur(d_inv):
@@ -173,7 +195,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     K = mg + q
     be = resolve_backend(backend, K)
     Ghat_k = jnp.concatenate([G[:, :mg, :], A], axis=-2)  # (B, K, n)
-    P = jnp.einsum("bmn,bn,bkn->bmk", Ghat_k, qinv, Ghat_k)
+    with _precision_ctx():
+        P = jnp.einsum("bmn,bn,bkn->bmk", Ghat_k, qinv, Ghat_k)
     eye_mg = jnp.eye(mg, dtype=dt)
 
     if cone:
@@ -291,7 +314,8 @@ def _solve_refined(fac, K, rhs, backend, trans=0, refine=0):
     x = _solve(fac, rhs, backend, trans)
     Kop = K if trans == 0 else jnp.swapaxes(K, -1, -2)
     for _ in range(refine):
-        r = rhs - jnp.einsum("bij,bj->bi", Kop, x)
+        with _precision_ctx():  # accurate residual is the point of refine
+            r = rhs - jnp.einsum("bij,bj->bi", Kop, x)
         x = x + _solve(fac, r, backend, trans)
     return x
 
@@ -371,6 +395,11 @@ def solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
     with no collisions) solves exactly this system.  Single-instance or
     batched.
     """
+    with _precision_ctx():
+        return _solve_eq_kkt(Q, p, A, b, reg, backend)
+
+
+def _solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
     single = Q.ndim == 2
     if single:
         Q, p, A, b = Q[None], p[None], A[None], b[None]
@@ -426,6 +455,16 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
 
     Returns a :class:`PdipmSolution`.
     """
+    return _pdipm_solve(
+        Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
+        backend=backend, q_diag=q_diag, verbose=verbose,
+        gamma_rows=gamma_rows, q_is_diag=q_is_diag, row_mask=row_mask,
+        refine=refine, not_improved_lim=not_improved_lim)
+
+
+def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
+                 verbose, gamma_rows, q_is_diag, row_mask, refine,
+                 not_improved_lim):
     # Q may arrive in DIAGONAL form (shape == p.shape): the physics mass
     # matrix.  It is then never expanded to (B, n, n) — the Schur path
     # only needs its shape/dtype and the residuals use an elementwise
@@ -567,9 +606,12 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         return F.matvec(lam) if cone else bmv(F, lam)
 
     def kkt_residuals(z, s, lam, nu):
-        rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
-        rz = bmv(G, z) + Fmv(lam) + s - h
-        ry = bmv(A, z) - b
+        # Accurate residuals are what lets bf16-precision directions
+        # converge to f32-true solutions (see module precision note).
+        with _precision_ctx():
+            rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
+            rz = bmv(G, z) + Fmv(lam) + s - h
+            ry = bmv(A, z) - b
         return rx, rz, ry
 
     def resid_norm(rx, rz, ry):

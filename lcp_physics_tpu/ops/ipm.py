@@ -339,7 +339,9 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
 
     qinv = 1.0 / q_diag
     Ghat = jnp.concatenate([G[:, :mg, :], A], axis=-2)    # (B, K, n)
-    P = jnp.einsum("bkn,bn,bjn->bkj", Ghat, qinv, Ghat)
+    from lcp_physics_tpu.lcp.pdipm import _precision_ctx
+    with _precision_ctx():
+        P = jnp.einsum("bkn,bn,bjn->bkj", Ghat, qinv, Ghat)
     Mn, Mf = _structure_masks(C, fd, q)
 
     L = _tile_lanes(n, m, q, K, jnp.dtype(dt).itemsize)

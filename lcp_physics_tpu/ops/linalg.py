@@ -287,6 +287,11 @@ def plu_factor(K):
 
     Dispatches on size: lane-batched kernel (n <= 88), blocked per-world
     MXU kernel (n <= 896).  Returns an opaque factor for :func:`plu_solve`.
+
+    The blocked path's trailing-update GEMMs run at 'highest' matmul
+    precision when entered via the solver (pdipm wraps its trace in that
+    context); standalone callers inherit whatever precision context is
+    active.
     """
     B, n = K.shape[0], K.shape[-1]
     assert K.shape[-1] == K.shape[-2]
