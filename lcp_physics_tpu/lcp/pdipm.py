@@ -175,9 +175,10 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
 
             def solve(rhs, trans=0):
                 r1, r2 = rhs[..., :n], rhs[..., n:]
-                t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
-                w = _solve_refined(fac, S, t, be, trans, refine)
-                z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
+                with _precision_ctx():  # rhs/solution transforms: exact
+                    t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
+                    w = _solve_refined(fac, S, t, be, trans, refine)
+                    z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
                 return jnp.concatenate([z, w], axis=-1)
 
             return solve
@@ -277,7 +278,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             r1, r2 = rhs[..., :n], rhs[..., n:]
             rk = jnp.concatenate([r2[..., :mg], r2[..., m:]], axis=-1)
             rg = r2[..., mg:m]
-            tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
+            with _precision_ctx():  # rhs/solution transforms: exact
+                tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
             tg = rg                                  # gamma G rows are zero
             if trans == 0:
                 rhs_red = tk + skg_apply(Dginv * tg)
@@ -289,7 +291,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                 wg = -Dginv * (tg - skg_t_apply(wk))
             w_full = jnp.concatenate(
                 [wk[..., :mg], wg, wk[..., mg:]], axis=-1)
-            z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
+            with _precision_ctx():
+                z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
             return jnp.concatenate([z, w_full], axis=-1)
 
         return solve

@@ -160,12 +160,93 @@ def _gj_tile(dtype):
     return 24 if dtype == jnp.float32 else 12
 
 
+# Rank-b block elimination for the panel inversion.  The elimination's
+# full-tile work drops from P scalar-pivot passes to P/b rank-b MXU
+# updates: +25% dense-scene step throughput (PERF.md).  The MXU matmuls
+# run at the fast (bf16) default precision; that is acceptable for the
+# factor because (a) the solver treats the factor as direction-quality
+# and feeds it accurate residuals (lcp/pdipm.py mixed-precision note),
+# and (b) the dense-scene merit plateau was measured to be ALGORITHMIC —
+# running factor, solves and residuals all at 'highest' left the floor
+# bit-identical, so factor precision is not what limits solution quality
+# at solver_refine=0, and solver_refine>=1 recovers precision when asked.
+# False -> the precision-exact scalar kernel (always used for f64 and in
+# interpret mode); "force" -> blocked even in interpret mode (tests).
+GJ_BLOCKED = True
+_GJ_BLOCK = 16
+
+# Precision of the block-substitution matvecs in _blocked_solve (None =
+# ambient/default).  Measured: 'highest' here does NOT move the dense-
+# scene merit floor (it is algorithmic, see above) — kept as a knob for
+# experiments.
+SOLVE_PRECISION = None
+
+
+def _gj_inv_kernel_blocked(aug_ref, out_ref):
+    """Blocked Gauss-Jordan over (L, P, 2P) tiles, rank-_GJ_BLOCK updates.
+
+    Per block: extract the pivot block-column with a one-hot MXU matmul,
+    invert the small (b, b) pivot by a masked scalar GJ, then ONE rank-b
+    MXU update of the whole tile.
+    """
+    L, P = aug_ref.shape[0], aug_ref.shape[1]
+    b = _GJ_BLOCK
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
+    out_ref[...] = aug_ref[...]
+
+    bi = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    bj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * b), 2)
+
+    def small_inv(D):
+        """(L, b, b) batched pivotless GJ inverse (VPU, f32-exact)."""
+        eye = jnp.where(bi == bj, jnp.ones((), D.dtype), 0.0)
+        aug = jnp.concatenate(
+            [D, eye * jnp.ones((L, b, b), D.dtype)], axis=2)  # (L, b, 2b)
+
+        def step(k, aug):
+            row_k = jnp.sum(jnp.where(bi == k, aug, 0.0), axis=1,
+                            keepdims=True)
+            piv = jnp.sum(jnp.where(jj == k, row_k, 0.0), axis=2,
+                          keepdims=True)
+            row = row_k * _safe_inv(piv)
+            col = jnp.sum(jnp.where(jj == k, aug, 0.0), axis=2,
+                          keepdims=True)
+            return jnp.where(bi == k, row, aug - col * row)
+
+        return jax.lax.fori_loop(0, b, step, aug)[:, :, b:]
+
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, b), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, b), 1)
+
+    for kb in range(0, P, b):  # static unroll: P/b rank-b eliminations
+        A = out_ref[...]
+        E = jnp.where(j2 == kb + c2, jnp.ones((), A.dtype), 0.0)  # (2P, b)
+        C = jax.lax.dot_general(A, E, (((2,), (0,)), ((), ())),
+                                preferred_element_type=A.dtype)   # (L, P, b)
+        D = C[:, kb:kb + b, :]                                    # (L, b, b)
+        Dinv = small_inv(D)
+        Arows = out_ref[:, kb:kb + b, :]                          # (L, b, 2P)
+        R = jax.lax.dot_general(Dinv, Arows,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=A.dtype)   # (L, b, 2P)
+        upd = jax.lax.dot_general(C, R, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=A.dtype)
+        out_ref[...] = A - upd
+        out_ref[:, kb:kb + b, :] = R  # pivot rows: D^-1 @ A_rows
+
+
 def _gj_inverse(Ktt):
     """Batched inverse of (B, P, P) diagonal blocks via the tiled
     Gauss-Jordan kernel (pivotless — quasi-definite blocks)."""
     B, P = Ktt.shape[0], Ktt.shape[-1]
     dt = Ktt.dtype
-    L = _gj_tile(dt)
+    # Blocked (MXU) elimination on TPU f32; scalar kernel elsewhere (it is
+    # precision-exact, which interpret-mode tests and f64 runs rely on).
+    blocked = (GJ_BLOCKED and dt == jnp.float32 and P % _GJ_BLOCK == 0
+               and (GJ_BLOCKED == "force" or not _interpret()))
+    kernel = _gj_inv_kernel_blocked if blocked else _gj_inv_kernel
+    L = 16 if blocked else _gj_tile(dt)   # measured-best tiles (PERF.md)
     B_pad = _ru(max(B, 1), L)
     if B_pad > B:
         pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
@@ -174,7 +255,7 @@ def _gj_inverse(Ktt):
     aug = jnp.concatenate([Ktt, eye], axis=-1)            # (B_pad, P, 2P)
 
     out = pl.pallas_call(
-        _gj_inv_kernel,
+        kernel,
         grid=(B_pad // L,),
         in_specs=[pl.BlockSpec((L, P, 2 * P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -248,8 +329,10 @@ def _blocked_solve(fac2, r, n, trans=0):
     def part(v, t):
         return v[:, t * PANEL:(t + 1) * PANEL]
 
-    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v)
-    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v)
+    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v,
+                                 precision=SOLVE_PRECISION)
+    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v,
+                                  precision=SOLVE_PRECISION)
 
     if trans == 0:
         ys = []

@@ -55,7 +55,10 @@ def solver_stats(static, config, params, state, dt=1e-2):
             params, state, dt)
     return lcp_solve_full(**blocks, max_iter=config.max_iter,
                           tol=config.solver_eps,
-                          backend=config.lcp_backend, q_is_diag=True)
+                          backend=config.lcp_backend, q_is_diag=True,
+                          gamma_rows=static.c_max,
+                          refine=config.solver_refine,
+                          not_improved_lim=config.solver_stall_lim)
 
 
 def finite_mask(state):

@@ -103,3 +103,26 @@ def test_blocked_lu_f64_precision():
     # f64 accumulation: residual far below anything f32 could reach
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_blocked_gj_kernel_matches_inverse():
+    """The rank-b MXU Gauss-Jordan variant (GJ_BLOCKED) inverts correctly.
+
+    On CPU the dispatch normally falls back to the scalar kernel; "force"
+    runs the blocked kernel in interpret mode, where its dot_generals are
+    f32-exact, so the comparison can be tight."""
+    import lcp_physics_tpu.ops.linalg as linalg
+
+    rng = np.random.default_rng(7)
+    B, P = 8, 128
+    K = jnp.asarray(
+        rng.standard_normal((B, P, P)).astype(np.float32) * 0.1
+        + np.eye(P, dtype=np.float32) * 6.0)
+    old = linalg.GJ_BLOCKED
+    try:
+        linalg.GJ_BLOCKED = "force"
+        inv = linalg._gj_inverse(K)
+    finally:
+        linalg.GJ_BLOCKED = old
+    ref = np.linalg.inv(np.asarray(K, np.float64))
+    np.testing.assert_allclose(np.asarray(inv), ref, rtol=2e-4, atol=2e-4)
