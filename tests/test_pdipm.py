@@ -287,3 +287,27 @@ def test_refine_matches_unrefined_f64():
     z1 = lcp_solve(qd, p, G, h, max_iter=25, tol=1e-11, gamma_rows=0,
                    refine=1)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-9)
+
+
+def test_stall_exit_returns_best_iterate():
+    """Reference notImprovedLim semantics: with the per-instance stall
+    exit on, a batch returns exactly the same (best-iterate) solution as
+    with the exit off — the exit only saves the iterations a stalled
+    instance would have wasted."""
+    rng = np.random.default_rng(11)
+    n, m, q, B = 8, 6, 2, 5
+    batch = [random_qp(rng, n, m, q, with_F=True) for _ in range(B)]
+    args = tuple(jnp.stack([inst[k] for inst in batch]) for k in range(7))
+
+    # Loose iteration budget + unreachably tight tol forces the plateau
+    # regime where the stall exit matters.
+    sol_off = pdipm_solve(*args, max_iter=25, tol=1e-30,
+                          not_improved_lim=0)
+    sol_on = pdipm_solve(*args, max_iter=25, tol=1e-30,
+                         not_improved_lim=3)
+    np.testing.assert_allclose(np.asarray(sol_on.z), np.asarray(sol_off.z),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_on.lam),
+                               np.asarray(sol_off.lam), rtol=0, atol=1e-12)
+    # and the exit actually fired somewhere (budget not exhausted)
+    assert int(jnp.min(sol_on.iters)) < 25
