@@ -114,7 +114,7 @@ def resolve_backend(backend: str, nk: int = None) -> str:
 
 
 def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
-                    refine=0):
+                    refine=0, fwd_fast=False):
     """KKT solve operator factory.
 
     Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
@@ -138,6 +138,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     m, q = G.shape[-2], A.shape[-2]
     dt = Q.dtype
     cone = isinstance(F, ConeF)
+    store_dt = _fwd_store_dtype(dt) if fwd_fast else None
 
     if q_diag is None:
         if cone:
@@ -146,7 +147,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         def factor_dense(d_inv):
             be = resolve_backend(backend, n + m + q)
             K = _assemble_kkt(Q, G, A, F, d_inv, reg)
-            fac = _factor(K, be)
+            fac = _factor(K, be, store_dt)
             return lambda rhs, trans=0: _solve_refined(fac, K, rhs, be,
                                                        trans, refine)
 
@@ -171,7 +172,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                                     - reg * eye_m)
             if q:
                 S = S.at[:, m:, m:].add(-reg * eye_q)
-            fac = _factor(S, be)
+            fac = _factor(S, be, store_dt)
 
             def solve(rhs, trans=0):
                 r1, r2 = rhs[..., :n], rhs[..., n:]
@@ -269,7 +270,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         if q:
             S = S.at[:, mg:, mg:].add(-reg * eye_q)
         S_red = add_correction(S, Dginv)
-        fac = _factor(S_red, be)
+        fac = _factor(S_red, be, store_dt)
 
         def solve_red(rhs_red, trans):
             return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
@@ -300,11 +301,28 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     return factor_schur_gamma
 
 
-def _factor(K, backend):
+# Store forward-iteration blocked factors in bf16 on TPU: the MXU reads
+# f32 operands as bf16 at default precision anyway, so the cast halves
+# the HBM bytes of every block-substitution solve without changing the
+# computed direction.  Measured OFF-by-default: at B=256 the solves are
+# XLA-op-overhead bound, not bandwidth bound, and the cast pass made the
+# dense bench ~2% slower (PERF.md round-2).  Never applied on the
+# backward/one-shot path (it traces without this flag and at 'highest').
+FWD_FACTOR_STORE_BF16 = False
+
+
+def _fwd_store_dtype(dt):
+    if (FWD_FACTOR_STORE_BF16 and dt == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")):
+        return jnp.bfloat16
+    return None
+
+
+def _factor(K, backend, solve_dtype=None):
     if backend == "pallas":
         from lcp_physics_tpu.ops.linalg import plu_factor
 
-        return plu_factor(K)
+        return plu_factor(K, solve_dtype=solve_dtype)
     return lu_factor(K)
 
 
@@ -546,7 +564,7 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
 
     kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
                                  gamma_rows if q_diag is not None else 0,
-                                 refine=refine)
+                                 refine=refine, fwd_fast=True)
 
     # ---- Fused whole-IPM kernel dispatch (ops/ipm.py): engine layout
     # (diag Q + ConeF + gamma elimination) with a small Schur system.

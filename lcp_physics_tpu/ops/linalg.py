@@ -174,6 +174,11 @@ def _gj_tile(dtype):
 # interpret mode); "force" -> blocked even in interpret mode (tests).
 GJ_BLOCKED = True
 _GJ_BLOCK = 16
+_GJ_IP_TILE = 24  # worlds per (L, P, P) in-place tile (4 copies in VMEM
+# plus live intermediates; 32 hits the 16 MB scoped-vmem ceiling)
+_GJ_IP_PRECISION = None  # None = ambient default_matmul_precision at
+# trace time: fast bf16 for forward IPM factors, exact 3-pass f32 when
+# traced under the solver's 'highest' context (implicit-grad backward).
 
 # Precision of the block-substitution matvecs in _blocked_solve (None =
 # ambient/default).  Measured: 'highest' here does NOT move the dense-
@@ -182,17 +187,23 @@ _GJ_BLOCK = 16
 SOLVE_PRECISION = None
 
 
-def _gj_inv_kernel_blocked(aug_ref, out_ref):
-    """Blocked Gauss-Jordan over (L, P, 2P) tiles, rank-_GJ_BLOCK updates.
+def _gj_inv_kernel_blocked(K_ref, out_ref):
+    """In-place blocked Gauss-Jordan inversion over (L, P, P) tiles with
+    rank-_GJ_BLOCK MXU updates — NO augmentation.
 
-    Per block: extract the pivot block-column with a one-hot MXU matmul,
-    invert the small (b, b) pivot by a masked scalar GJ, then ONE rank-b
-    MXU update of the whole tile.
+    Classic in-place GJ: per rank-b step with pivot block D (inverted by a
+    masked scalar GJ on the VPU) and pivot block-column C (extracted with a
+    one-hot MXU matmul), ONE rank-b update ``A - C @ Rp`` transforms the
+    whole tile, where Rp is the scaled pivot row-block with its own block
+    column replaced by D^-1; the updated block column is the negated
+    update and the pivot rows are rewritten with Rp.  After P/b steps the
+    tile holds K^-1.  Versus the augmented [K | I] formulation this halves
+    both the VMEM footprint (so twice the worlds per tile) and the matmul
+    flops per elimination step.
     """
-    L, P = aug_ref.shape[0], aug_ref.shape[1]
+    L, P = K_ref.shape[0], K_ref.shape[1]
     b = _GJ_BLOCK
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
-    out_ref[...] = aug_ref[...]
+    out_ref[...] = K_ref[...]
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     bj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
@@ -216,46 +227,119 @@ def _gj_inv_kernel_blocked(aug_ref, out_ref):
 
         return jax.lax.fori_loop(0, b, step, aug)[:, :, b:]
 
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, b), 0)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * P, b), 1)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (P, b), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (P, b), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    # Big matmuls follow the AMBIENT matmul precision at trace time: the
+    # forward IPM factors trace with none set (fast single-pass bf16 — the
+    # factor is direction-quality there, see pdipm.py), while the implicit-
+    # gradient backward traces under 'highest' and gets an exact-f32
+    # factor from the same kernel.  precision=None == ambient.
+    prec = _GJ_IP_PRECISION
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(a, b_, dims, precision=prec):
+        return jax.lax.dot_general(a, b_, dims, precision=precision,
+                                   preferred_element_type=a.dtype)
 
     for kb in range(0, P, b):  # static unroll: P/b rank-b eliminations
         A = out_ref[...]
-        E = jnp.where(j2 == kb + c2, jnp.ones((), A.dtype), 0.0)  # (2P, b)
-        C = jax.lax.dot_general(A, E, (((2,), (0,)), ((), ())),
-                                preferred_element_type=A.dtype)   # (L, P, b)
+        E = jnp.where(j2 == kb + c2, jnp.ones((), A.dtype), 0.0)  # (P, b)
+        C = dot(A, E, (((2,), (0,)), ((), ())))                   # (L, P, b)
         D = C[:, kb:kb + b, :]                                    # (L, b, b)
         Dinv = small_inv(D)
-        Arows = out_ref[:, kb:kb + b, :]                          # (L, b, 2P)
-        R = jax.lax.dot_general(Dinv, Arows,
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=A.dtype)   # (L, b, 2P)
-        upd = jax.lax.dot_general(C, R, (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=A.dtype)
-        out_ref[...] = A - upd
-        out_ref[:, kb:kb + b, :] = R  # pivot rows: D^-1 @ A_rows
+        Arows = out_ref[:, kb:kb + b, :]                          # (L, b, P)
+        R = dot(Dinv, Arows, (((2,), (1,)), ((0,), (0,))))        # (L, b, P)
+        # Rp = R with its own block column (= Dinv @ D + bf16 noise) set to
+        # EXACTLY Dinv: extract R's actual block column and swap it for
+        # Dinv via one-hot matmuls.  These two are O(b^2 P) — negligible —
+        # and run at HIGHEST so selection/placement are exact; leaving the
+        # bf16 noise in place instead was measured 7.5x less accurate
+        # (the noisy ~I block feeds every later elimination).
+        R_cb = dot(R, E, (((2,), (0,)), ((), ())), hi)            # (L, b, b)
+        Rp = R + dot(Dinv - R_cb, E, (((2,), (1,)), ((), ())), hi)
+        upd = dot(C, Rp, (((2,), (1,)), ((0,), (0,))))
+        col_in = (lane >= kb) & (lane < kb + b)
+        # block column: -C @ Dinv (the update alone); elsewhere: A - C @ Rp
+        out_ref[...] = jnp.where(col_in, -upd, A - upd)
+        out_ref[:, kb:kb + b, :] = Rp  # pivot rows (incl. Dinv block)
+
+
+def _gj_inv_blocked_call(Ktt):
+    """pallas_call wrapper for the in-place blocked GJ kernel; worlds per
+    tile scale inversely with the block area (same VMEM budget)."""
+    B, P = Ktt.shape[0], Ktt.shape[-1]
+    dt = Ktt.dtype
+    L = max(8, _GJ_IP_TILE * (PANEL // P) ** 2)
+    B_pad = _ru(max(B, 1), L)
+    if B_pad > B:
+        pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
+        Ktt = jnp.concatenate([Ktt, pad], axis=0)
+    return pl.pallas_call(
+        _gj_inv_kernel_blocked,
+        grid=(B_pad // L,),
+        in_specs=[pl.BlockSpec((L, P, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L, P, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, P, P), dt),
+        input_output_aliases={0: 0},
+        interpret=_interpret(),
+    )(Ktt)[:B]
+
+
+# Two-level Schur inversion of 128-panels: the blocked GJ kernel is
+# op-LATENCY bound (the 16x16 pivot inversions are ~100 tiny sequential
+# VPU ops per rank-16 step), and sequential-op count scales as
+# (P/b) * (B/L) with L capped by VMEM ~ 1/P^2.  Halving P quarters the
+# per-cell ops AND quadruples the worlds per tile, so inverting a 128
+# panel as two 64-inversions plus six batched MXU matmuls
+# (block-inverse identity) cuts the sequential tiny-op count ~5x.  The
+# solve format is unchanged (the caller still gets the full 128-inverse).
+GJ_TWO_LEVEL = True
 
 
 def _gj_inverse(Ktt):
     """Batched inverse of (B, P, P) diagonal blocks via the tiled
-    Gauss-Jordan kernel (pivotless — quasi-definite blocks)."""
+    Gauss-Jordan kernel (pivotless — quasi-definite blocks, for which
+    every leading principal submatrix is nonsingular, so the two-level
+    Schur split below is well-posed)."""
     B, P = Ktt.shape[0], Ktt.shape[-1]
     dt = Ktt.dtype
     # Blocked (MXU) elimination on TPU f32; scalar kernel elsewhere (it is
     # precision-exact, which interpret-mode tests and f64 runs rely on).
     blocked = (GJ_BLOCKED and dt == jnp.float32 and P % _GJ_BLOCK == 0
                and (GJ_BLOCKED == "force" or not _interpret()))
-    kernel = _gj_inv_kernel_blocked if blocked else _gj_inv_kernel
-    L = 16 if blocked else _gj_tile(dt)   # measured-best tiles (PERF.md)
+    if blocked:
+        if GJ_TWO_LEVEL and P >= 128 and (P // 2) % _GJ_BLOCK == 0:
+            H = P // 2
+            A_, B_ = Ktt[:, :H, :H], Ktt[:, :H, H:]
+            C_, D_ = Ktt[:, H:, :H], Ktt[:, H:, H:]
+            mm = lambda X, Y: jnp.einsum("bij,bjk->bik", X, Y,
+                                         preferred_element_type=dt)
+            Ainv = _gj_inverse(A_)
+            X = mm(Ainv, B_)
+            Y = mm(C_, Ainv)
+            Sinv = _gj_inverse(D_ - mm(C_, X))
+            M21 = -mm(Sinv, Y)
+            M12 = -mm(X, Sinv)
+            M11 = Ainv - mm(X, M21)          # A^-1 + X S^-1 Y
+            return jnp.concatenate(
+                [jnp.concatenate([M11, M12], -1),
+                 jnp.concatenate([M21, Sinv], -1)], -2)
+        return _gj_inv_blocked_call(Ktt)
+
+    L = _gj_tile(dt)
     B_pad = _ru(max(B, 1), L)
     if B_pad > B:
         pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
         Ktt = jnp.concatenate([Ktt, pad], axis=0)
+
     eye = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad, P, P))
     aug = jnp.concatenate([Ktt, eye], axis=-1)            # (B_pad, P, 2P)
 
     out = pl.pallas_call(
-        kernel,
+        _gj_inv_kernel,
         grid=(B_pad // L,),
         in_specs=[pl.BlockSpec((L, P, 2 * P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -317,11 +401,18 @@ def _blocked_lu(K):
 def _blocked_solve(fac2, r, n, trans=0):
     """Block substitution on (lu, binv): one batched-matmul inverse apply
     per diagonal block, unit-upper back substitution — no triangular
-    solves anywhere."""
+    solves anywhere.
+
+    The factor blocks may be stored in bf16 (``plu_factor(solve_dtype=)``):
+    the block matvecs are HBM-bound batched GEMVs and the MXU rounds f32
+    operands to bf16 at default precision anyway, so bf16 storage halves
+    solve bytes while computing the same numbers.  RHS partials and
+    accumulators stay f32 (``preferred_element_type``)."""
     lu, binv = fac2
     B, n_pad = lu.shape[0], lu.shape[-1]
+    acc_dt = r.dtype
     T = n_pad // PANEL
-    rp = jnp.zeros((B, n_pad), lu.dtype).at[:, :n].set(r)
+    rp = jnp.zeros((B, n_pad), acc_dt).at[:, :n].set(r)
 
     def blk(t, s):
         return lu[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
@@ -329,10 +420,12 @@ def _blocked_solve(fac2, r, n, trans=0):
     def part(v, t):
         return v[:, t * PANEL:(t + 1) * PANEL]
 
-    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v,
-                                 precision=SOLVE_PRECISION)
-    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v,
-                                  precision=SOLVE_PRECISION)
+    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v.astype(M.dtype),
+                                 precision=SOLVE_PRECISION,
+                                 preferred_element_type=acc_dt)
+    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v.astype(M.dtype),
+                                  precision=SOLVE_PRECISION,
+                                  preferred_element_type=acc_dt)
 
     if trans == 0:
         ys = []
@@ -365,16 +458,19 @@ def _blocked_solve(fac2, r, n, trans=0):
     return jnp.concatenate(xs, axis=-1)[:, :n]
 
 
-def plu_factor(K):
+def plu_factor(K, solve_dtype=None):
     """Pivotless LU of a batch of small/medium dense matrices K (B, n, n).
 
     Dispatches on size: lane-batched kernel (n <= 88), blocked per-world
     MXU kernel (n <= 896).  Returns an opaque factor for :func:`plu_solve`.
 
-    The blocked path's trailing-update GEMMs run at 'highest' matmul
-    precision when entered via the solver (pdipm wraps its trace in that
-    context); standalone callers inherit whatever precision context is
-    active.
+    ``solve_dtype`` (blocked path only): store the factor blocks in this
+    dtype (bf16 halves the HBM bytes every subsequent block-substitution
+    solve reads; see :func:`_blocked_solve`).  Computation stays in K's
+    dtype — only the stored factor is cast.
+
+    The blocked path's trailing-update GEMMs inherit whatever matmul
+    precision context is active at trace time.
     """
     B, n = K.shape[0], K.shape[-1]
     assert K.shape[-1] == K.shape[-2]
@@ -382,7 +478,10 @@ def plu_factor(K):
         f"pallas LU supports n <= {MAX_BLOCKED_N}, got {n}; "
         "use the 'xla' backend for larger systems")
     if max(_ru(n, _SUBLANE), _SUBLANE) > MAX_LANE_N:
-        return ("blocked", _blocked_lu(K), (B, n))
+        fac2 = _blocked_lu(K)
+        if solve_dtype is not None and solve_dtype != K.dtype:
+            fac2 = jax.tree.map(lambda x: x.astype(solve_dtype), fac2)
+        return ("blocked", fac2, (B, n))
     dt = K.dtype
     n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
     L = _lane_tile(n_pad, jnp.dtype(dt).itemsize)

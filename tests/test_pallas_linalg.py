@@ -126,3 +126,28 @@ def test_blocked_gj_kernel_matches_inverse():
         linalg.GJ_BLOCKED = old
     ref = np.linalg.inv(np.asarray(K, np.float64))
     np.testing.assert_allclose(np.asarray(inv), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_bf16_factor_storage():
+    """plu_factor(solve_dtype=bf16) stores bf16 blocks; the solve still
+    accumulates f32 and lands within bf16-direction tolerance of the f32
+    factor (used for forward IPM iterations only — pdipm._fwd_store_dtype
+    gates it off the backward path and off CPU)."""
+    from lcp_physics_tpu.lcp.pdipm import _fwd_store_dtype
+
+    rng = np.random.default_rng(3)
+    B, n, m = 2, 80, 60  # nk = 140 -> blocked path
+    K = kkt_like_batch(B, n, m, rng)
+    r = jnp.asarray(rng.standard_normal((B, n + m)).astype(np.float32))
+    fac16 = plu_factor(K, solve_dtype=jnp.bfloat16)
+    assert fac16[0] == "blocked"
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(fac16[1]))
+    x16 = plu_solve(fac16, r)
+    assert x16.dtype == jnp.float32
+    x32 = plu_solve(plu_factor(K), r)
+    scale = float(jnp.max(jnp.abs(x32)))
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x32),
+                               atol=0.05 * scale)
+    # CPU runs never turn the cast on implicitly
+    assert _fwd_store_dtype(jnp.float32) is None
+    assert _fwd_store_dtype(jnp.float64) is None
