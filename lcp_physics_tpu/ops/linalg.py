@@ -174,8 +174,12 @@ def _gj_tile(dtype):
 # interpret mode); "force" -> blocked even in interpret mode (tests).
 GJ_BLOCKED = True
 _GJ_BLOCK = 16
-_GJ_IP_TILE = 24  # worlds per (L, P, P) in-place tile (4 copies in VMEM
-# plus live intermediates; 32 hits the 16 MB scoped-vmem ceiling)
+_GJ_IP_TILE = 64  # worlds per (L=_GJ_IP_TILE*(128/P)^2, P, P) in-place
+# tile.  The kernel is bound by sequential tiny VPU ops, so bigger tiles
+# (fewer grid cells) win outright; the raised per-kernel vmem limit
+# (_GJ_VMEM_LIMIT) is what makes these tile sizes legal.  Measured best
+# at P=64 (the two-level path's workhorse): L=256 -> one grid cell for a
+# 256-world batch.
 _GJ_IP_PRECISION = None  # None = ambient default_matmul_precision at
 # trace time: fast bf16 for forward IPM factors, exact 3-pass f32 when
 # traced under the solver's 'highest' context (implicit-grad backward).
@@ -265,12 +269,21 @@ def _gj_inv_kernel_blocked(K_ref, out_ref):
         out_ref[:, kb:kb + b, :] = Rp  # pivot rows (incl. Dinv block)
 
 
+# The default 16 MiB SCOPED vmem limit is far below the chip's physical
+# VMEM; raising it per-kernel lets the in-place GJ pack more worlds per
+# tile (fewer grid cells -> fewer sequential tiny VPU ops, which is what
+# the kernel is bound by) and keeps the HIGHEST-precision trace (the
+# implicit-gradient backward) from tripping the scoped-OOM checker.
+_GJ_VMEM_LIMIT = 96 * 1024 * 1024
+
+
 def _gj_inv_blocked_call(Ktt):
     """pallas_call wrapper for the in-place blocked GJ kernel; worlds per
     tile scale inversely with the block area (same VMEM budget)."""
     B, P = Ktt.shape[0], Ktt.shape[-1]
     dt = Ktt.dtype
     L = max(8, _GJ_IP_TILE * (PANEL // P) ** 2)
+    L = min(L, _ru(max(B, 1), 8))   # never pad past the batch itself
     B_pad = _ru(max(B, 1), L)
     if B_pad > B:
         pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
@@ -284,6 +297,8 @@ def _gj_inv_blocked_call(Ktt):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, P, P), dt),
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_GJ_VMEM_LIMIT),
         interpret=_interpret(),
     )(Ktt)[:B]
 
@@ -354,48 +369,51 @@ def _gj_inverse(Ktt):
 
 def _blocked_lu(K):
     """Blocked right-looking factorization with FULL diagonal-block
-    inverses: K (B, n, n) -> (lu, binv), binv (B, T, P, P).
+    inverses: K (B, n, n) -> (blocks, binv) with blocks[t][s] the
+    (B, P, P) off-diagonal factor blocks and binv[t] the (B, P, P)
+    diagonal-block inverses:
 
-        K = Lhat Uhat,  Lhat[t, s<t] = lu[t, s] (unscaled),
+        K = Lhat Uhat,  Lhat[t, s<t] = blocks[t][s] (unscaled),
         Lhat[t, t] = K_tt (implicitly; inverse stored in binv),
-        Uhat[t, s>t] = lu[t, s],  Uhat[t, t] = I.
+        Uhat[t, s>t] = blocks[t][s],  Uhat[t, t] = I.
 
     The panel loop runs at the XLA level: the only sequential-VPU work is
     the lane-batched Gauss-Jordan block inversion (``_gj_inverse``); the
-    U row blocks and trailing updates are plain batched matmuls that XLA
-    tiles onto the MXU.  (Round 1 ran the whole factorization inside one
-    per-world Pallas kernel; its in-kernel GJ loop could only amortize
-    over the few worlds that fit VMEM and dominated the 64-body step —
-    this layout runs the same math ~4x faster and the solve format is
-    unchanged.)
+    U row blocks and trailing updates are per-block batched MXU matmuls.
+    The factor lives as a GRID OF (B, P, P) BLOCKS, not one monolithic
+    (B, n, n) tensor: the monolithic ``.at[].set`` panel writes cost
+    ~1.7 ms of pure HBM copy traffic per factor at B=256/n=384 (each
+    update re-wrote untouched regions); per-block updates write only the
+    blocks they change.
     """
     B, n = K.shape[0], K.shape[-1]
     dt = K.dtype
     n_pad = _ru(n, PANEL)
     T = n_pad // PANEL
-    lu = jnp.zeros((B, n_pad, n_pad), dt).at[:, :n, :n].set(K)
     if n_pad > n:
+        Kp = jnp.zeros((B, n_pad, n_pad), dt).at[:, :n, :n].set(K)
         idx = jnp.arange(n, n_pad)
-        lu = lu.at[:, idx, idx].set(1.0)
+        Kp = Kp.at[:, idx, idx].set(1.0)
+    else:
+        Kp = K
+    blk = [[Kp[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
+            for s in range(T)] for t in range(T)]
 
+    # Accumulate in the input dtype (f64 runs stay f64; ADVICE r1).
+    mm = lambda X, Y: jnp.einsum("bij,bjk->bik", X, Y,
+                                 preferred_element_type=dt)
     binvs = []
     for t in range(T):
-        o = t * PANEL
-        binv_t = _gj_inverse(lu[:, o:o + PANEL, o:o + PANEL])
+        binv_t = _gj_inverse(blk[t][t])
         binvs.append(binv_t)
-        if o + PANEL >= n_pad:
-            break
-        # Accumulate in the input dtype (f64 runs stay f64; ADVICE r1).
-        ublk = jnp.einsum("bij,bjk->bik", binv_t,
-                          lu[:, o:o + PANEL, o + PANEL:],
-                          preferred_element_type=dt)
-        trail = lu[:, o + PANEL:, o + PANEL:] - jnp.einsum(
-            "bij,bjk->bik", lu[:, o + PANEL:, o:o + PANEL], ublk,
-            preferred_element_type=dt)
-        lu = lu.at[:, o:o + PANEL, o + PANEL:].set(ublk)
-        lu = lu.at[:, o + PANEL:, o + PANEL:].set(trail)
+        for s in range(t + 1, T):          # U row: binv_t @ K[t, s]
+            blk[t][s] = mm(binv_t, blk[t][s])
+        for i in range(t + 1, T):          # trailing updates
+            for s in range(t + 1, T):
+                blk[i][s] = blk[i][s] - mm(blk[i][t], blk[t][s])
+    blocks = tuple(tuple(row) for row in blk)
     binv = jnp.stack(binvs, axis=1)                       # (B, T, P, P)
-    return lu, binv
+    return blocks, binv
 
 
 def _blocked_solve(fac2, r, n, trans=0):
@@ -408,14 +426,14 @@ def _blocked_solve(fac2, r, n, trans=0):
     operands to bf16 at default precision anyway, so bf16 storage halves
     solve bytes while computing the same numbers.  RHS partials and
     accumulators stay f32 (``preferred_element_type``)."""
-    lu, binv = fac2
-    B, n_pad = lu.shape[0], lu.shape[-1]
+    blocks, binv = fac2
+    T = len(blocks)
+    B, n_pad = binv.shape[0], T * PANEL
     acc_dt = r.dtype
-    T = n_pad // PANEL
     rp = jnp.zeros((B, n_pad), acc_dt).at[:, :n].set(r)
 
     def blk(t, s):
-        return lu[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
+        return blocks[t][s]
 
     def part(v, t):
         return v[:, t * PANEL:(t + 1) * PANEL]

@@ -97,7 +97,8 @@ def test_blocked_lu_f64_precision():
     K = jnp.asarray(np.asarray(kkt_like_batch(B, n, m, rng)), jnp.float64)
     r = jnp.asarray(rng.standard_normal((B, n + m)))
     fac = plu_factor(K)
-    assert fac[0] == "blocked" and fac[1][0].dtype == jnp.float64
+    assert fac[0] == "blocked"
+    assert all(x.dtype == jnp.float64 for x in jax.tree.leaves(fac[1]))
     x = plu_solve(fac, r)
     x_ref = jnp.linalg.solve(K, r[..., None])[..., 0]
     # f64 accumulation: residual far below anything f32 could reach
