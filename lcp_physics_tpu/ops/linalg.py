@@ -214,7 +214,12 @@ def _gj_inv_kernel_blocked(K_ref, out_ref):
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * b), 2)
 
     def small_inv(D):
-        """(L, b, b) batched pivotless GJ inverse (VPU, f32-exact)."""
+        """(L, b, b) batched pivotless GJ inverse (VPU, f32-exact).
+
+        Kept as a fori_loop: statically unrolling the b steps was tried
+        (round 2) hoping to shave Mosaic per-iteration loop overhead —
+        the kernel then failed to COMPILE within 40+ minutes.  Do not
+        unroll."""
         eye = jnp.where(bi == bj, jnp.ones((), D.dtype), 0.0)
         aug = jnp.concatenate(
             [D, eye * jnp.ones((L, b, b), D.dtype)], axis=2)  # (L, b, 2b)

@@ -108,11 +108,14 @@ class SimConfig:
     # non-improving iterations (0 = off).  At f32, contact-rich systems
     # plateau at the conditioning floor above solver_eps; without this the
     # solver burns its full iteration budget making no progress.  Default
-    # 2 (the reference's notImprovedLim default is 3, tuned for f64):
+    # 1 (the reference's notImprovedLim default is 3, tuned for f64):
     # best-iterate return makes the earlier exit loss-free on plateauing
-    # scenes — measured 4e-3 trajectory drift over 8 dense chaotic steps
-    # for +12% dense-scene throughput (PERF.md round-2).
-    solver_stall_lim: int = 2
+    # scenes — measured BIT-IDENTICAL dense-scene residuals/solutions at
+    # lim 1 vs 2 with one fewer iteration (+23% dense throughput), and
+    # the f64 suite (tol-asserting engine tests) stays green (PERF.md
+    # round-2).  The API-parity surfaces (lcp_solve, LCPFunction) keep
+    # the reference's notImprovedLim=3 default.
+    solver_stall_lim: int = 1
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
     # what lets a single chip run the 4096 x 64-body stretch config.
