@@ -92,8 +92,13 @@ def bench_lcp_solves(B=4096):
     q = blocks["A"].shape[-2]
 
     def solve(Q, p, G, h, A, b, F, row_mask):
+        # not_improved_lim mirrors SimConfig.solver_stall_lim (the engine
+        # default this bench represents), not lcp_solve's API default (3,
+        # reference parity).
+        from lcp_physics_tpu.utils import SimConfig
         return lcp_solve(Q, p, G, h, A, b, F, max_iter=15, tol=1e-6,
-                         gamma_rows=C, row_mask=row_mask)
+                         gamma_rows=C, row_mask=row_mask,
+                         not_improved_lim=SimConfig.solver_stall_lim)
 
     sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
                        blocks["h"], blocks["A"], blocks["b"], blocks["F"],

@@ -238,11 +238,14 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         # eye-materialized diag add) cost ~1 ms/iteration of pure HBM
         # traffic at B=256/K=384; every correction is a DIAGONAL BAND of
         # the (K, K) plane, so static iota masks turn the whole assembly
-        # into one fused elementwise pass over -P.
-        rowK = jnp.arange(K)[:, None]
-        colK = jnp.arange(K)[None, :]
-        diagK = rowK == colK
-        band_specs = []                 # (mask, col_offset) per band
+        # into one fused elementwise pass over -P.  Masks are built in
+        # NumPy so the LAZY block path below can statically skip blocks a
+        # band never touches.
+        import numpy as _np
+        rowK = _np.arange(K)[:, None]
+        colK = _np.arange(K)[None, :]
+        diagK_np = rowK == colK
+        band_specs = []                 # (mask_np, col_offset) per band
         for d in range(fd):
             band_specs.append(((rowK - C_ * (1 + d) == colK)
                                & (colK < C_), "cn"))
@@ -252,20 +255,28 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                      & (colK >= C_ * (1 + d2)) & (colK < C_ * (2 + d2)),
                      C_ * (1 + d2)))
 
-        def assemble_S(d_inv, Dginv):
+        def correction_vectors(d_inv, Dginv):
             # diag: -(d_inv + reg) on kept inequality rows, -reg on eq rows
             dmain = jnp.concatenate(
                 [d_inv[..., :mg] + reg,
                  jnp.full((B, q), reg, dt)], axis=-1)          # (B, K)
             cn = v * mu_v * Dginv                              # (B, C)
             cf = -v * Dginv
-            S = -P - jnp.where(diagK, dmain[..., None, :], 0.0)
-            for mask, off in band_specs:
+            wides = []
+            for _, off in band_specs:
                 vals = cn if off == "cn" else cf
-                wide = jnp.zeros((B, K), dt)
                 start = 0 if off == "cn" else off
-                wide = wide.at[:, start:start + C_].set(vals)
-                S = S + jnp.where(mask, wide[..., None, :], 0.0)
+                wides.append(jnp.zeros((B, K), dt)
+                             .at[:, start:start + C_].set(vals))
+            return dmain, wides
+
+        def assemble_S(d_inv, Dginv):
+            dmain, wides = correction_vectors(d_inv, Dginv)
+            S = -P - jnp.where(jnp.asarray(diagK_np),
+                               dmain[..., None, :], 0.0)
+            for (mask, _), wide in zip(band_specs, wides):
+                S = S + jnp.where(jnp.asarray(mask), wide[..., None, :],
+                                  0.0)
             return S
 
         F_kk = 0.0  # F[:mg, :mg] is structurally zero
@@ -283,11 +294,68 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             "bkg,bg,bgj->bkj", Skg, Dginv, Sgk)
         F_kk = F[:, :mg, :mg]
 
+    # LAZY blocked assembly: when the factor goes through the block-grid
+    # pallas path with no refinement, S_red is never materialized — each
+    # (B, PANEL, PANEL) block's "-P + banded corrections" expression is
+    # handed to the factorization, and XLA fuses it into the block's
+    # first consumer.  Saves a full (B, K, K) HBM write+read per IPM
+    # iteration.  (refine > 0 needs the dense S_red for its residual
+    # matvec; the xla/lane backends take dense input anyway.)
+    lazy_ok = False
+    if cone and refine == 0:
+        from lcp_physics_tpu.ops.linalg import (MAX_LANE_N, PANEL,
+                                                _ru as _ru_)
+
+        lazy_ok = (be == "pallas" and _ru_(K, 8) > MAX_LANE_N)
+        if lazy_ok:
+            K_pad = _ru_(K, PANEL)
+            negP_pad = jnp.zeros((B, K_pad, K_pad), dt)
+            negP_pad = negP_pad.at[:, :K, :K].set(-P)   # once per solve
+            if K_pad > K:
+                idxp = jnp.arange(K, K_pad)
+                negP_pad = negP_pad.at[:, idxp, idxp].set(1.0)
+            # pad the static band masks so partial edge blocks slice clean
+            band_masks_pad = []
+            for mask, _ in band_specs:
+                mp = _np.zeros((K_pad, K_pad), bool)
+                mp[:K, :K] = mask
+                band_masks_pad.append(mp)
+
+            def make_get_block(dmain, wides):
+                def get_block(t, s):
+                    r0, c0 = t * PANEL, s * PANEL
+                    val = negP_pad[:, r0:r0 + PANEL, c0:c0 + PANEL]
+                    cs = slice(c0, min(c0 + PANEL, K))
+                    w = cs.stop - cs.start
+                    if t == s and w > 0:   # diag correction, this block
+                        dsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                            dmain[..., cs])
+                        eye_p = jnp.eye(PANEL, dtype=dt)
+                        val = val - dsub[..., None, :] * eye_p
+                    for mask, wide in zip(band_masks_pad, wides):
+                        sub = mask[r0:r0 + PANEL, c0:c0 + PANEL]
+                        if not sub.any():
+                            continue     # static skip: band misses block
+                        wsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                            wide[..., cs])
+                        val = val + jnp.where(jnp.asarray(sub),
+                                              wsub[..., None, :], 0.0)
+                    return val
+                return get_block
+
     def factor_schur_gamma(d_inv):
         Dg = d_inv[..., mg:] + reg                   # -S_gg diagonal
         Dginv = 1.0 / Dg
-        if cone:
+        if cone and lazy_ok:
+            from lcp_physics_tpu.ops.linalg import plu_factor_blocks
+
+            dmain, wides = correction_vectors(d_inv, Dginv)
+            fac = plu_factor_blocks(make_get_block(dmain, wides), B, K,
+                                    dt, store_dt)
+            S_red = None                              # refine == 0
+        elif cone:
             S_red = assemble_S(d_inv, Dginv)
+            fac = _factor(S_red, be, store_dt)
         else:
             S = -P
             S = S.at[:, :mg, :mg].add(F_kk - d_inv[..., :mg, None] * eye_mg
@@ -295,7 +363,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             if q:
                 S = S.at[:, mg:, mg:].add(-reg * eye_q)
             S_red = add_correction(S, Dginv)
-        fac = _factor(S_red, be, store_dt)
+            fac = _factor(S_red, be, store_dt)
 
         def solve_red(rhs_red, trans):
             return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
@@ -356,10 +424,12 @@ _XLA_SOLVE_CHUNK = 1024
 
 def _solve_refined(fac, K, rhs, backend, trans=0, refine=0):
     """Solve with optional iterative-refinement steps (recovers the digit
-    an f32 factorization loses; exact no-op change at f64)."""
+    an f32 factorization loses; exact no-op change at f64).  ``K`` may be
+    None when refine == 0 (the lazy block-assembly path never
+    materializes it)."""
     x = _solve(fac, rhs, backend, trans)
-    Kop = K if trans == 0 else jnp.swapaxes(K, -1, -2)
     for _ in range(refine):
+        Kop = K if trans == 0 else jnp.swapaxes(K, -1, -2)
         with _precision_ctx():  # accurate residual is the point of refine
             r = rhs - jnp.einsum("bij,bj->bi", Kop, x)
         x = x + _solve(fac, r, backend, trans)

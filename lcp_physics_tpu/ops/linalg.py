@@ -394,15 +394,27 @@ def _blocked_lu(K):
     B, n = K.shape[0], K.shape[-1]
     dt = K.dtype
     n_pad = _ru(n, PANEL)
-    T = n_pad // PANEL
     if n_pad > n:
         Kp = jnp.zeros((B, n_pad, n_pad), dt).at[:, :n, :n].set(K)
         idx = jnp.arange(n, n_pad)
         Kp = Kp.at[:, idx, idx].set(1.0)
     else:
         Kp = K
-    blk = [[Kp[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
-            for s in range(T)] for t in range(T)]
+    get = lambda t, s: Kp[:, t * PANEL:(t + 1) * PANEL,
+                          s * PANEL:(s + 1) * PANEL]
+    return _blocked_lu_from(get, B, n, dt)
+
+
+def _blocked_lu_from(get_block, B, n, dt):
+    """Blocked factorization from a LAZY block source: ``get_block(t, s)``
+    returns the (B, P, P) input block.  Callers that assemble their matrix
+    from a constant part plus cheap per-iteration corrections (the IPM's
+    Schur complement) pass the assembly EXPRESSION here, so the assembled
+    matrix is never written to HBM — XLA fuses each block's assembly into
+    its first consumer (the GJ inversion or the first trailing update)."""
+    n_pad = _ru(n, PANEL)
+    T = n_pad // PANEL
+    blk = [[get_block(t, s) for s in range(T)] for t in range(T)]
 
     # Accumulate in the input dtype (f64 runs stay f64; ADVICE r1).
     mm = lambda X, Y: jnp.einsum("bij,bjk->bik", X, Y,
@@ -419,6 +431,19 @@ def _blocked_lu(K):
     blocks = tuple(tuple(row) for row in blk)
     binv = jnp.stack(binvs, axis=1)                       # (B, T, P, P)
     return blocks, binv
+
+
+def plu_factor_blocks(get_block, B, n, dtype, solve_dtype=None):
+    """Pivotless blocked factorization from a lazy per-block source (see
+    :func:`_blocked_lu_from`).  ``get_block(t, s)`` must return the
+    (B, PANEL, PANEL) block of the n_pad-padded matrix (identity on the
+    padded diagonal, zero elsewhere in the padding).  Only valid for
+    n > MAX_LANE_N (the blocked path); returns a :func:`plu_solve` factor."""
+    assert pallas_supported(n) and _ru(n, _SUBLANE) > MAX_LANE_N
+    fac2 = _blocked_lu_from(get_block, B, n, dtype)
+    if solve_dtype is not None and solve_dtype != dtype:
+        fac2 = jax.tree.map(lambda x: x.astype(solve_dtype), fac2)
+    return ("blocked", fac2, (B, n))
 
 
 def _blocked_solve(fac2, r, n, trans=0):

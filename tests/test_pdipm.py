@@ -311,3 +311,34 @@ def test_stall_exit_returns_best_iterate():
                                np.asarray(sol_off.lam), rtol=0, atol=1e-12)
     # and the exit actually fired somewhere (budget not exhausted)
     assert int(jnp.min(sol_on.iters)) < 25
+
+
+def test_lazy_block_assembly_matches_xla():
+    """The lazy block-grid Schur assembly (backend='pallas', blocked size,
+    refine=0 — S_red never materialized) must match the dense-assembly
+    'xla' path on an engine-layout cone system."""
+    from lcp_physics_tpu.lcp import ConeF, lcp_solve_full
+
+    rng = np.random.default_rng(7)
+    B, n, C, fd = 3, 12, 32, 2          # K = C*(1+fd) = 96 > MAX_LANE_N
+    m = C * (2 + fd)
+    qd = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    p = jnp.asarray(rng.standard_normal((B, n)))
+    valid = jnp.asarray((rng.random((B, C)) < 0.8).astype(float))
+    mu = jnp.asarray(rng.uniform(0.3, 1.0, (B, C))) * valid
+    Jc = rng.standard_normal((B, C, n)) * np.asarray(valid)[..., None]
+    Jf = rng.standard_normal((B, fd * C, n)) \
+        * np.tile(np.asarray(valid), fd)[..., None]
+    G = jnp.asarray(np.concatenate([-Jc, -Jf, np.zeros((B, C, n))], axis=1))
+    jcv = jnp.einsum("bcn,bn->bc", jnp.asarray(Jc), p)
+    h = jnp.concatenate([jnp.where(valid > 0, 0.3 * jcv, 1.0),
+                         jnp.where(jnp.tile(valid, (1, fd)) > 0, 0.0, 1.0),
+                         jnp.where(valid > 0, 0.0, 1.0)], axis=-1)
+    rmask = jnp.concatenate([valid, jnp.tile(valid, (1, fd)), valid], -1)
+    F = ConeF(mu=mu, valid=valid, fd=fd)
+    kw = dict(max_iter=20, tol=1e-10, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask)
+    sp = lcp_solve_full(qd, p, G, h, None, None, F, backend="pallas", **kw)
+    sx = lcp_solve_full(qd, p, G, h, None, None, F, backend="xla", **kw)
+    np.testing.assert_allclose(np.asarray(sp.z), np.asarray(sx.z),
+                               atol=5e-8)
