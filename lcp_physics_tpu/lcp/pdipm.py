@@ -753,8 +753,13 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         # Reference notImprovedLim: stall counter per instance.  A stalled
         # instance freezes (its best iterate is returned below); iteration
         # i=0 always counts as improved (best_merit starts at +big).
+        # The i >= lim + 2 floor keeps a SINGLE early step-length collapse
+        # (alpha ~ 0 at iteration 1-2, merit bit-equal, next centering
+        # step recovers) from freezing an instance at small stall limits;
+        # measured no effect on the plateau scenes the exit is for.
         stall = jnp.where(improved, 0, stall + 1)
-        stalled = (stall >= not_improved_lim) if not_improved_lim > 0 \
+        stalled = ((stall >= not_improved_lim)
+                   & (i >= not_improved_lim + 2)) if not_improved_lim > 0 \
             else jnp.zeros_like(done)
 
         new_done = done | (merit < tol) | stalled

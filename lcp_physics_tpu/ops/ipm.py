@@ -190,8 +190,10 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
             stall = state_ref[pl.ds(3, 1), :][0]
             stall = jnp.where(improved[0], 0.0, stall + 1.0)
             state_ref[3, :] = stall
-            stalled = (stall >= not_improved_lim if not_improved_lim > 0
-                       else jnp.zeros_like(done))
+            # i >= lim + 2 floor: mirror pdipm.py's early-collapse guard
+            stalled = ((stall >= not_improved_lim)
+                       & (it >= not_improved_lim + 2)
+                       if not_improved_lim > 0 else jnp.zeros_like(done))
             new_done = done | (merit < tol) | stalled
             iters = state_ref[pl.ds(2, 1), :][0]
             state_ref[2, :] = jnp.where(new_done & ~done,

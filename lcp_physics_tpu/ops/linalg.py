@@ -287,9 +287,15 @@ def _gj_inv_blocked_call(Ktt):
     tile scale inversely with the block area (same VMEM budget)."""
     B, P = Ktt.shape[0], Ktt.shape[-1]
     dt = Ktt.dtype
-    L = max(8, _GJ_IP_TILE * (PANEL // P) ** 2)
-    L = min(L, _ru(max(B, 1), 8))   # never pad past the batch itself
-    B_pad = _ru(max(B, 1), L)
+    L_max = max(8, _GJ_IP_TILE * (PANEL // P) ** 2)
+    # Choose the number of grid cells first (the latency-bound quantity),
+    # then shrink L to the smallest tile serving that cell count — a
+    # batch just above a multiple of L_max would otherwise pad nearly a
+    # whole tile of identity worlds (e.g. B=264, L=256 -> 248 padded).
+    Bc = max(B, 1)
+    cells = -(-Bc // L_max)
+    L = _ru(-(-Bc // cells), 8)
+    B_pad = _ru(Bc, L)
     if B_pad > B:
         pad = jnp.broadcast_to(jnp.eye(P, dtype=dt), (B_pad - B, P, P))
         Ktt = jnp.concatenate([Ktt, pad], axis=0)
@@ -440,7 +446,11 @@ def plu_factor_blocks(get_block, B, n, dtype, solve_dtype=None):
     padded diagonal, zero elsewhere in the padding).  Only valid for
     n > MAX_LANE_N (the blocked path); returns a :func:`plu_solve` factor."""
     assert pallas_supported(n) and _ru(n, _SUBLANE) > MAX_LANE_N
-    fac2 = _blocked_lu_from(get_block, B, n, dtype)
+    return _wrap_blocked(_blocked_lu_from(get_block, B, n, dtype),
+                         B, n, dtype, solve_dtype)
+
+
+def _wrap_blocked(fac2, B, n, dtype, solve_dtype):
     if solve_dtype is not None and solve_dtype != dtype:
         fac2 = jax.tree.map(lambda x: x.astype(solve_dtype), fac2)
     return ("blocked", fac2, (B, n))
@@ -454,8 +464,11 @@ def _blocked_solve(fac2, r, n, trans=0):
     The factor blocks may be stored in bf16 (``plu_factor(solve_dtype=)``):
     the block matvecs are HBM-bound batched GEMVs and the MXU rounds f32
     operands to bf16 at default precision anyway, so bf16 storage halves
-    solve bytes while computing the same numbers.  RHS partials and
-    accumulators stay f32 (``preferred_element_type``)."""
+    solve bytes while computing the same numbers.  Accumulators stay f32
+    (``preferred_element_type``); RHS partials are cast to the storage
+    dtype ONLY on the fast default-precision path — with SOLVE_PRECISION
+    set (the experiment knob) operands stay f32 so the knob measures what
+    it claims, at the cost of promoting the stored blocks."""
     blocks, binv = fac2
     T = len(blocks)
     B, n_pad = binv.shape[0], T * PANEL
@@ -468,10 +481,12 @@ def _blocked_solve(fac2, r, n, trans=0):
     def part(v, t):
         return v[:, t * PANEL:(t + 1) * PANEL]
 
-    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v.astype(M.dtype),
+    cast = (lambda v: v) if SOLVE_PRECISION is not None else \
+        (lambda v: v.astype(binv.dtype))
+    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, cast(v),
                                  precision=SOLVE_PRECISION,
                                  preferred_element_type=acc_dt)
-    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, v.astype(M.dtype),
+    mtv = lambda M, v: jnp.einsum("bij,bi->bj", M, cast(v),
                                   precision=SOLVE_PRECISION,
                                   preferred_element_type=acc_dt)
 
@@ -526,10 +541,7 @@ def plu_factor(K, solve_dtype=None):
         f"pallas LU supports n <= {MAX_BLOCKED_N}, got {n}; "
         "use the 'xla' backend for larger systems")
     if max(_ru(n, _SUBLANE), _SUBLANE) > MAX_LANE_N:
-        fac2 = _blocked_lu(K)
-        if solve_dtype is not None and solve_dtype != K.dtype:
-            fac2 = jax.tree.map(lambda x: x.astype(solve_dtype), fac2)
-        return ("blocked", fac2, (B, n))
+        return _wrap_blocked(_blocked_lu(K), B, n, K.dtype, solve_dtype)
     dt = K.dtype
     n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
     L = _lane_tile(n_pad, jnp.dtype(dt).itemsize)

@@ -113,8 +113,11 @@ class SimConfig:
     # scenes — measured BIT-IDENTICAL dense-scene residuals/solutions at
     # lim 1 vs 2 with one fewer iteration (+23% dense throughput), and
     # the f64 suite (tol-asserting engine tests) stays green (PERF.md
-    # round-2).  The API-parity surfaces (lcp_solve, LCPFunction) keep
-    # the reference's notImprovedLim=3 default.
+    # round-2).  The solver additionally refuses to stall-freeze before
+    # iteration lim+2, so a single early step-length collapse (alpha ~ 0,
+    # merit bit-equal, next centering step recovers) cannot freeze an
+    # instance at small limits.  The API-parity surfaces (lcp_solve,
+    # LCPFunction) keep the reference's notImprovedLim=3 default.
     solver_stall_lim: int = 1
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
