@@ -110,13 +110,18 @@ def bench_lcp_solves(B=4096):
     return rate
 
 
-def bench_world_steps(B=256, n_steps=16, dense=False):
+def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
+                      hull_budget=0):
     """Batched 64-body world stepping (the BASELINE '64 bodies' metric).
 
     dense=False: the round-1 loose grid (free flight, ~0 active contacts —
     measures assembly + solver fast-path overhead).  dense=True: touching
     grid with ~90 persistent contacts per world (measures the full
-    contact-LCP iteration cost)."""
+    contact-LCP iteration cost).  hulls=True swaps the 64 circles for 64
+    unit squares (2016 static hull pairs through the SAT/clipping
+    narrowphase — the reference's demos are Rect/Hull-heavy, so this is
+    the honest geometry workload; VERDICT r2 item 2).  hull_budget > 0
+    turns on the AABB top-K pair budget (SimConfig.hull_pair_budget)."""
     from lcp_physics_tpu.core import (WorldState, default_params,
                                       make_scene_static)
     from lcp_physics_tpu.parallel import make_batched_step, tile_state
@@ -124,11 +129,19 @@ def bench_world_steps(B=256, n_steps=16, dense=False):
 
     N = 64
     rng = np.random.default_rng(1)
-    counts = [1] * N
+    if hulls:
+        counts = [4] * N
+        sq = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
+                      np.float32)
+        verts = np.broadcast_to(sq, (N, 4, 2)).copy()
+        radius = np.zeros(N, np.float32)
+    else:
+        counts = [1] * N
+        verts = np.zeros((N, 1, 2), np.float32)
+        radius = np.full(N, 1.0, np.float32)
     static = make_scene_static(counts, c_max=128)
     params = default_params(
-        static, verts=np.zeros((N, 1, 2), np.float32),
-        radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
+        static, verts=verts, radius=radius, gravity=(0.0, 10.0),
         restitution=0.4, dtype=jnp.float32)
     gx, gy = np.meshgrid(np.arange(8), np.arange(8))
     if dense:
@@ -146,7 +159,8 @@ def bench_world_steps(B=256, n_steps=16, dense=False):
                        t=jnp.zeros((), jnp.float32))
     states = tile_state(state, B)
 
-    config = SimConfig(max_iter=12, solver_eps=1e-5)
+    config = SimConfig(max_iter=12, solver_eps=1e-5,
+                       hull_pair_budget=hull_budget)
     bstep = make_batched_step(static, config)
 
     @jax.jit
@@ -159,9 +173,11 @@ def bench_world_steps(B=256, n_steps=16, dense=False):
 
     sec = time_fn(run, params, states, iters=3)
     rate = B * n_steps / sec
-    tag = "dense ~90 contacts" if dense else "loose"
-    log(f"[bench] world steps (64 bodies, C=128, {tag}): B={B} x "
-        f"{n_steps} steps: {sec * 1e3:.1f} ms -> "
+    tag = "dense" if dense else "loose"
+    geo = "hull" if hulls else "circle"
+    bud = f", pair_budget={hull_budget}" if hull_budget else ""
+    log(f"[bench] world steps (64 {geo} bodies, C=128, {tag}{bud}): "
+        f"B={B} x {n_steps} steps: {sec * 1e3:.1f} ms -> "
         f"{rate:,.0f} world-steps/sec")
     return rate
 
@@ -254,6 +270,8 @@ def main():
     try:
         bench_world_steps()
         bench_world_steps(dense=True)
+        bench_world_steps(dense=True, hulls=True)
+        bench_world_steps(dense=True, hulls=True, hull_budget=256)
         bench_fwd_bwd()
         if "--scale" in _sys.argv:
             bench_scale_up()

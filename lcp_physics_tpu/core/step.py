@@ -60,6 +60,11 @@ class StepDiagnostics(NamedTuple):
     # backtrack compares post vs pre so sustained resting contact (pre ==
     # post > tol) does not burn futile re-solves.
     pre_penetration: jax.Array
+    # dt-halvings taken by the in-jit backtrack (0 when the flag is off or
+    # the full step was accepted first try).  ``halvings ==
+    # max_dt_halvings`` with ``max_penetration > tol`` means the budget
+    # was exhausted (the host path warns; the jitted path reports here).
+    halvings: jax.Array = jnp.zeros((), jnp.int32)
 
 
 def generalized_mass(params: SceneParams):
@@ -116,7 +121,8 @@ def make_assemble(static: SceneStatic, config: SimConfig):
         margin = (motion_margins(params, state, dt, counts, config.tol)
                   if config.speculative else None)
         contacts = find_contacts(state.p, params.verts, params.radius,
-                                 counts, pairs, C, margin=margin)
+                                 counts, pairs, C, margin=margin,
+                                 hull_budget=config.hull_pair_budget)
         if config.stop_contact_grad:
             contacts = jax.tree.map(jax.lax.stop_gradient, contacts)
         if C == 0:
@@ -178,7 +184,8 @@ def make_assemble(static: SceneStatic, config: SimConfig):
                         h=jnp.zeros((0,), dtype), A=Je, b=-err,
                         F=jnp.zeros((0, 0), dtype))
         contacts = find_contacts(p, params.verts, params.radius,
-                                 counts, pairs, C)
+                                 counts, pairs, C,
+                                 hull_budget=config.hull_pair_budget)
         Jc, _, _ = assemble_contact_jacobians(contacts, N, fd)
         # push out: Jc dp >= depth  ->  -Jc dp <= -depth
         h_ps = jnp.where(contacts.valid, -contacts.depth, 1.0)

@@ -178,7 +178,11 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                 r1, r2 = rhs[..., :n], rhs[..., n:]
                 with _precision_ctx():  # rhs/solution transforms: exact
                     t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
-                    w = _solve_refined(fac, S, t, be, trans, refine)
+                # substitutions stay at default precision (same mixed-
+                # precision scheme as factor_schur_gamma; the refine
+                # residual inside _solve_refined raises its own context)
+                w = _solve_refined(fac, S, t, be, trans, refine)
+                with _precision_ctx():
                     z = qinv * (r1 - jnp.einsum("bmn,bm->bn", Ghat, w))
                 return jnp.concatenate([z, w], axis=-1)
 

@@ -180,3 +180,24 @@ def test_constraint_J_matches_assembled_rows():
     Jx, Jx2 = xc.J()
     assert Jx2 is None
     np.testing.assert_allclose(np.asarray(Jx), Je[2:3, 0:3], atol=1e-12)
+
+
+def test_parity_reference_profile_pins_semantics():
+    """tools/parity.py's reference-semantics profile must construct Worlds
+    with speculative contacts OFF and engine notImprovedLim=3 (the two
+    deliberate departures from the reference — VERDICT r2 missing #5)."""
+    import sys
+    sys.path.insert(0, ".")
+    from tools.parity import ours_api, scene_bounce
+
+    api = ours_api("reference")
+    w, _ = scene_bounce(api)
+    assert w.speculative is False
+    cfg = w.engine._config(w)
+    assert cfg.solver_stall_lim == 3
+    assert cfg.speculative is False
+
+    api_d = ours_api("default")
+    w2, _ = scene_bounce(api_d)
+    assert w2.speculative is True
+    assert w2.engine._config(w2).solver_stall_lim == 1

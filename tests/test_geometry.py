@@ -210,3 +210,162 @@ def test_max_penetration():
     pairs = split_pairs_by_kind(counts)
     pen = max_penetration(p, verts, radius, counts, pairs)
     np.testing.assert_allclose(pen, 0.8, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# SoA hull-hull narrowphase (round-3 TPU-first rewrite): element-for-element
+# parity with the vmapped per-pair kernel, plus pair-budget exactness.
+# ---------------------------------------------------------------------------
+
+def random_hull(rng, n_verts, scale=1.0):
+    """Random convex CCW polygon with n_verts vertices, centered."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    rad = rng.uniform(0.5, 1.0, n_verts) * scale
+    v = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=-1)
+    return v - v.mean(axis=0)
+
+
+def random_hull_world(rng, N=8, Vmax=6, spread=2.5):
+    """A world of N random convex hulls scattered densely enough that many
+    pairs overlap, many touch and many are separated."""
+    bodies = []
+    for _ in range(N):
+        nv = int(rng.integers(3, Vmax + 1))
+        pos = [rng.uniform(-0.4, 0.4),
+               rng.uniform(-spread, spread), rng.uniform(-spread, spread)]
+        bodies.append(dict(pos=pos, verts=random_hull(rng, nv)))
+    return make_world(bodies)
+
+
+def test_soa_hull_hull_matches_per_pair_kernel():
+    from lcp_physics_tpu.core.geometry import hull_hull_pairs
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        p, verts, radius, counts = random_hull_world(rng)
+        pairs = split_pairs_by_kind(counts)
+        hi, hj = pairs["hh"]
+        assert len(hi) > 10
+        wv = world_vertices(verts, p)
+        counts_j = jnp.asarray(counts)
+        pos = p[:, 1:3]
+        m = jnp.asarray(rng.uniform(0.0, 0.3, len(hi)))
+
+        # reference: the vmapped per-pair kernel
+        n0, ra0, rb0, d0, v0 = jax.vmap(
+            lambda i, j, mm: hull_hull(wv[i], counts_j[i], pos[i],
+                                       wv[j], counts_j[j], pos[j], mm)
+        )(hi, hj, m)
+        nx, ny, rax, ray, rbx, rby, d1, v1 = hull_hull_pairs(
+            wv, counts_j, pos, jnp.asarray(hi), jnp.asarray(hj), m)
+
+        np.testing.assert_array_equal(np.asarray(v1.T), np.asarray(v0))
+        val = np.asarray(v0)
+        # compare only valid points (invalid slots may hold junk)
+        np.testing.assert_allclose(
+            np.asarray(d1.T)[val], np.asarray(d0)[val], atol=1e-10)
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(nx)[:, None], val.shape)[val],
+            np.asarray(n0[:, 0])[:, None].repeat(2, 1)[val], atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rax.T)[val], np.asarray(ra0[..., 0])[val], atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(ray.T)[val], np.asarray(ra0[..., 1])[val], atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rbx.T)[val], np.asarray(rb0[..., 0])[val], atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rby.T)[val], np.asarray(rb0[..., 1])[val], atol=1e-10)
+
+
+def test_soa_sat_depths_match():
+    from lcp_physics_tpu.core.geometry import hull_hull_sat_depths
+
+    rng = np.random.default_rng(3)
+    p, verts, radius, counts = random_hull_world(rng)
+    pairs = split_pairs_by_kind(counts)
+    hi, hj = pairs["hh"]
+    wv = world_vertices(verts, p)
+    counts_j = jnp.asarray(counts)
+
+    def sat_depth(i, j):
+        from lcp_physics_tpu.core.geometry import (_edge_data,
+                                                   _face_separation)
+        _, _, _, na, eva = _edge_data(wv[i], counts_j[i])
+        _, _, _, nb, evb = _edge_data(wv[j], counts_j[j])
+        sep_a = jnp.max(_face_separation(na, wv[i], eva, wv[j], counts_j[j]))
+        sep_b = jnp.max(_face_separation(nb, wv[j], evb, wv[i], counts_j[i]))
+        return -jnp.maximum(sep_a, sep_b)
+
+    d0 = jax.vmap(sat_depth)(hi, hj)
+    d1 = hull_hull_sat_depths(wv, counts_j, jnp.asarray(hi), jnp.asarray(hj))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-10)
+
+
+def test_hull_budget_exact_when_budget_covers_overlaps():
+    """With a budget >= the number of AABB-overlapping pairs, the budgeted
+    pipeline must produce the same contact SET as the unbudgeted one."""
+    from lcp_physics_tpu.core.geometry import aabb_overlap_depth
+
+    rng = np.random.default_rng(7)
+    p, verts, radius, counts = random_hull_world(rng, N=10, spread=3.0)
+    pairs = split_pairs_by_kind(counts)
+    hi, hj = pairs["hh"]
+    boxes = aabbs(p, verts, radius, jnp.asarray(counts))
+    n_overlap = int(jnp.sum(aabb_overlap_depth(boxes, hi, hj) > 0))
+    assert 0 < n_overlap < len(hi)
+
+    c_max = 64
+    full = find_contacts(p, verts, radius, counts, pairs, c_max)
+    budg = find_contacts(p, verts, radius, counts, pairs, c_max,
+                         hull_budget=max(n_overlap, 1))
+
+    def contact_set(cts):
+        rows = []
+        for k in np.nonzero(np.asarray(cts.valid))[0]:
+            rows.append((int(cts.ia[k]), int(cts.ib[k]),
+                         round(float(cts.depth[k]), 9),
+                         round(float(cts.normal[k, 0]), 9),
+                         round(float(cts.ra[k, 0]), 9)))
+        return sorted(rows)
+
+    assert contact_set(full) == contact_set(budg)
+
+
+def test_hull_budget_in_simconfig_step():
+    """A budgeted batched step matches the unbudgeted one when the budget
+    covers all overlapping pairs (end-to-end through make_step_batched)."""
+    from lcp_physics_tpu.core import make_step_batched
+    from lcp_physics_tpu.core.state import WorldState, make_scene_static
+    from lcp_physics_tpu.core.state import SceneParams
+    from lcp_physics_tpu.utils import SimConfig
+
+    rng = np.random.default_rng(11)
+    N = 6
+    sq = square_verts(0.5)
+    counts = [4] * N
+    static = make_scene_static(counts)
+    verts = jnp.asarray(np.stack([sq] * N))
+    params = SceneParams(
+        mass=jnp.ones(N), inertia=jnp.ones(N),
+        restitution=jnp.full(N, 0.3), fric_coeff=jnp.full(N, 0.5),
+        radius=jnp.zeros(N), verts=verts,
+        gravity=jnp.asarray([0.0, 9.8]), force_params=())
+    # overlapping 2x3 grid (0.95 spacing on unit squares), slight jitter
+    px = np.array([0.95 * (k % 3) for k in range(N)])
+    py = np.array([0.95 * (k // 3) for k in range(N)])
+    p = jnp.asarray(np.stack([np.zeros(N), px, py], axis=-1))
+    B = 3
+    states = WorldState(
+        p=jnp.stack([p + 0.01 * rng.standard_normal(p.shape)
+                     for _ in range(B)]),
+        v=jnp.asarray(0.1 * rng.standard_normal((B, N, 3))),
+        t=jnp.zeros((B,)))
+
+    s_full = make_step_batched(static, SimConfig())
+    s_budg = make_step_batched(static, SimConfig(hull_pair_budget=12))
+    o_full, d_full = s_full(params, states, 0.01)
+    o_budg, d_budg = s_budg(params, states, 0.01)
+    np.testing.assert_allclose(np.asarray(o_budg.p), np.asarray(o_full.p),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(o_budg.v), np.asarray(o_full.v),
+                               atol=1e-9)

@@ -114,12 +114,44 @@ def reference_api():
         hor_impulse=forces.hor_impulse, World=world.World)
 
 
-def ours_api():
+def ours_api(profile="default"):
+    """Our API namespace under a named semantics profile.
+
+    profile="default": the engine's own throughput defaults (speculative
+    contacts ON, solver_stall_lim=1).
+    profile="reference": pinned reference semantics (VERDICT r2 missing
+    #5) — both deliberate departures turned off so parity is judged
+    against matching machinery, not tuning:
+      * speculative=False  (the reference has no predictive contacts;
+        ours defaults True at physics/world.py World.__init__)
+      * engine stall_lim=3 (the reference's notImprovedLim default; ours
+        defaults 1 at utils SimConfig.solver_stall_lim)
+      * max_iter=10, eps matched to the reference Defaults guesses
+        (re-verify the moment the mount is populated — SURVEY §0).
+    """
     import jax
 
     jax.config.update("jax_enable_x64", True)
     import lcp_physics_tpu.physics as phys
-    return phys
+    if profile == "default":
+        return phys
+
+    from lcp_physics_tpu.physics import PdipmEngine
+    from lcp_physics_tpu.physics import World as _World
+
+    class RefProfileWorld(_World):
+        def __init__(self, bodies, constraints=(), **kw):
+            kw.setdefault("speculative", False)
+            kw.setdefault("engine", PdipmEngine(stall_lim=3))
+            super().__init__(bodies, constraints, **kw)
+
+    ns = _Namespace("ours-refprofile",
+                    **{k: getattr(phys, k) for k in (
+                        "Circle", "Rect", "Hull", "Joint", "TotalConstraint",
+                        "XConstraint", "YConstraint", "ExternalForce",
+                        "down_force", "hor_impulse")})
+    ns.World = RefProfileWorld
+    return ns
 
 
 def run_trajectory(api, build, steps):
@@ -139,7 +171,7 @@ def gradient_ours_inference():
     jax.config.update("jax_enable_x64", True)
     from lcp_physics_tpu.core import make_step, rollout
 
-    api = ours_api()
+    api = ours_api("reference")  # gradient parity judged at ref semantics
 
     def final_x(mass):
         w, _ = scene_inference(api, mass=1.0)
@@ -178,21 +210,37 @@ def main():
 
     import numpy as np
 
-    ref, ours = reference_api(), ours_api()
+    ref = reference_api()
+    profiles = [("reference", ours_api("reference")),
+                ("default", ours_api("default"))]
     failures = 0
-    print(f"{'scenario':<12} {'steps':>5} {'max |dp|':>12}  verdict")
+    print(f"{'scenario':<12} {'profile':<10} {'steps':>5} "
+          f"{'max |dp|':>12}  verdict")
     for name, build, steps in SCENARIOS:
         try:
             t_ref = np.asarray(run_trajectory(ref, build, steps))
-            t_our = np.asarray(run_trajectory(ours, build, steps))
-            dev = np.abs(t_ref - t_our).max()
-            ok = dev <= TOL
-            failures += 0 if ok else 1
-            print(f"{name:<12} {steps:>5} {dev:>12.3e}  "
-                  f"{'PASS' if ok else 'FAIL'} @ {TOL:g}")
-        except Exception as e:  # report, keep going
+        except Exception as e:
             failures += 1
-            print(f"{name:<12} {steps:>5} {'ERROR':>12}  {e!r}")
+            print(f"{name:<12} {'-':<10} {steps:>5} {'ERROR':>12}  {e!r}")
+            continue
+        for pname, ours in profiles:
+            try:
+                t_our = np.asarray(run_trajectory(ours, build, steps))
+                dev = np.abs(t_ref - t_our).max()
+                # Only the pinned reference-semantics profile is the
+                # pass/fail parity gate; the default profile is reported
+                # for information (speculative contacts deliberately
+                # change impact timing).
+                ok = dev <= TOL
+                if pname == "reference":
+                    failures += 0 if ok else 1
+                print(f"{name:<12} {pname:<10} {steps:>5} {dev:>12.3e}  "
+                      f"{'PASS' if ok else 'FAIL'} @ {TOL:g}")
+            except Exception as e:  # report, keep going
+                if pname == "reference":
+                    failures += 1
+                print(f"{name:<12} {pname:<10} {steps:>5} {'ERROR':>12}"
+                      f"  {e!r}")
 
     try:
         g_ref = gradient_reference_inference()
