@@ -46,28 +46,33 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
-                    diag_q, gamma_rows, refine, not_improved_lim):
+                    diag_q, gamma_rows, refine, not_improved_lim,
+                    factor_precision):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
-                      refine=refine, not_improved_lim=not_improved_lim)
+                      refine=refine, not_improved_lim=not_improved_lim,
+                      factor_precision=factor_precision)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
-             gamma_rows, refine, not_improved_lim):
+             gamma_rows, refine, not_improved_lim, factor_precision):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
-                      refine=refine, not_improved_lim=not_improved_lim)
+                      refine=refine, not_improved_lim=not_improved_lim,
+                      factor_precision=factor_precision)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
-             not_improved_lim, residuals, g):
+             not_improved_lim, factor_precision, residuals, g):
+    # (factor_precision governs the FORWARD factor only; the backward
+    # one-shot solve always traces under 'highest'.)
     from lcp_physics_tpu.lcp.pdipm import _precision_ctx
     with _precision_ctx():
         return _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows,
@@ -197,7 +202,7 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
-              not_improved_lim=3):
+              not_improved_lim=3, factor_precision=None):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -218,14 +223,15 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
         row_mask = jnp.asarray(row_mask, h.dtype)
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
-                           not_improved_lim)
+                           not_improved_lim, factor_precision)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
                    gamma_rows=0, q_is_diag=None,
                    row_mask=None, refine=0,
-                   not_improved_lim=3) -> PdipmSolution:
+                   not_improved_lim=3,
+                   factor_precision=None) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -236,7 +242,8 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
     return pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                        backend=backend, q_is_diag=diag_q,
                        gamma_rows=gamma_rows, row_mask=row_mask,
-                       refine=refine, not_improved_lim=not_improved_lim)
+                       refine=refine, not_improved_lim=not_improved_lim,
+                       factor_precision=factor_precision)
 
 
 class LCPFunction:

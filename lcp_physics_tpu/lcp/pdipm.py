@@ -77,9 +77,30 @@ class PdipmSolution(NamedTuple):
 #     'highest'.
 SOLVER_MATMUL_PRECISION = "highest"
 
+# Ambient matmul precision for the FORWARD per-iteration factorization
+# (the blocked-GJ panel inversions' big dots, the blocked-LU trailing
+# updates and the two-level Schur-split matmuls all follow the ambient
+# precision at trace time — ops/linalg.py).  None = fast default
+# (single-pass bf16).  Round-3 finding: the dense-scene merit floor
+# TRACKS this knob (bf16 factor -> ~4e-2, exact f32 factor -> ~1e-4;
+# the xla backend and CPU both floor at ~1e-4), because the direction
+# error is ~kappa(S) * eps_factor and the IPM stalls once that reaches
+# O(1) — the round-2 "algorithmic floor" claim was an artifact of the
+# experiment never reaching these trace-time-ambient dots.
+FWD_FACTOR_PRECISION = None
+
 
 def _precision_ctx():
     return jax.default_matmul_precision(SOLVER_MATMUL_PRECISION)
+
+
+def _fwd_factor_ctx(prec=None):
+    import contextlib
+
+    prec = FWD_FACTOR_PRECISION if prec is None else prec
+    if prec is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(prec)
 
 
 def _dtype_consts(dtype):
@@ -114,7 +135,7 @@ def resolve_backend(backend: str, nk: int = None) -> str:
 
 
 def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
-                    refine=0, fwd_fast=False):
+                    refine=0, fwd_fast=False, fwd_precision=None):
     """KKT solve operator factory.
 
     Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
@@ -139,6 +160,12 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     dt = Q.dtype
     cone = isinstance(F, ConeF)
     store_dt = _fwd_store_dtype(dt) if fwd_fast else None
+    # 'highest' also selects the precision-exact scalar GJ kernel for the
+    # blocked pallas factor: the rank-16 blocked elimination floors the
+    # IPM residual at ~8e-3 even with all matmuls at 'highest' (explicit
+    # inverses of ill-conditioned pivot blocks), while the scalar kernel
+    # reaches ~1e-4 — parity with pivoted XLA LU (PERF.md round-3).
+    exact_fwd = fwd_precision in ("highest", "float32")
 
     if q_diag is None:
         if cone:
@@ -147,7 +174,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         def factor_dense(d_inv):
             be = resolve_backend(backend, n + m + q)
             K = _assemble_kkt(Q, G, A, F, d_inv, reg)
-            fac = _factor(K, be, store_dt)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = _factor(K, be, store_dt, exact=exact_fwd)
             return lambda rhs, trans=0: _solve_refined(fac, K, rhs, be,
                                                        trans, refine)
 
@@ -172,7 +200,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                                     - reg * eye_m)
             if q:
                 S = S.at[:, m:, m:].add(-reg * eye_q)
-            fac = _factor(S, be, store_dt)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = _factor(S, be, store_dt, exact=exact_fwd)
 
             def solve(rhs, trans=0):
                 r1, r2 = rhs[..., :n], rhs[..., n:]
@@ -354,12 +383,14 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             from lcp_physics_tpu.ops.linalg import plu_factor_blocks
 
             dmain, wides = correction_vectors(d_inv, Dginv)
-            fac = plu_factor_blocks(make_get_block(dmain, wides), B, K,
-                                    dt, store_dt)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = plu_factor_blocks(make_get_block(dmain, wides), B, K,
+                                        dt, store_dt, exact=exact_fwd)
             S_red = None                              # refine == 0
         elif cone:
             S_red = assemble_S(d_inv, Dginv)
-            fac = _factor(S_red, be, store_dt)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = _factor(S_red, be, store_dt, exact=exact_fwd)
         else:
             S = -P
             S = S.at[:, :mg, :mg].add(F_kk - d_inv[..., :mg, None] * eye_mg
@@ -367,7 +398,8 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             if q:
                 S = S.at[:, mg:, mg:].add(-reg * eye_q)
             S_red = add_correction(S, Dginv)
-            fac = _factor(S_red, be, store_dt)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = _factor(S_red, be, store_dt, exact=exact_fwd)
 
         def solve_red(rhs_red, trans):
             return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
@@ -415,11 +447,11 @@ def _fwd_store_dtype(dt):
     return None
 
 
-def _factor(K, backend, solve_dtype=None):
+def _factor(K, backend, solve_dtype=None, exact=False):
     if backend == "pallas":
         from lcp_physics_tpu.ops.linalg import plu_factor
 
-        return plu_factor(K, solve_dtype=solve_dtype)
+        return plu_factor(K, solve_dtype=solve_dtype, exact=exact)
     return lu_factor(K)
 
 
@@ -546,7 +578,7 @@ def _solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
                 gamma_rows=0, q_is_diag=None, row_mask=None, refine=0,
-                not_improved_lim=3):
+                not_improved_lim=3, factor_precision=None):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -579,12 +611,13 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
         backend=backend, q_diag=q_diag, verbose=verbose,
         gamma_rows=gamma_rows, q_is_diag=q_is_diag, row_mask=row_mask,
-        refine=refine, not_improved_lim=not_improved_lim)
+        refine=refine, not_improved_lim=not_improved_lim,
+        factor_precision=factor_precision)
 
 
 def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                  verbose, gamma_rows, q_is_diag, row_mask, refine,
-                 not_improved_lim):
+                 not_improved_lim, factor_precision=None):
     # Q may arrive in DIAGONAL form (shape == p.shape): the physics mass
     # matrix.  It is then never expanded to (B, n, n) — the Schur path
     # only needs its shape/dtype and the residuals use an elementwise
@@ -663,7 +696,8 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
 
     kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
                                  gamma_rows if q_diag is not None else 0,
-                                 refine=refine, fwd_fast=True)
+                                 refine=refine, fwd_fast=True,
+                                 fwd_precision=factor_precision)
 
     # ---- Fused whole-IPM kernel dispatch (ops/ipm.py): engine layout
     # (diag Q + ConeF + gamma elimination) with a small Schur system.
@@ -725,33 +759,74 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     def Fmv(lam):
         return F.matvec(lam) if cone else bmv(F, lam)
 
-    def kkt_residuals(z, s, lam, nu):
+    # ---- Packed-state loop (round 3). -----------------------------------
+    # The while_loop body used to carry (z, s, lam, nu) as four arrays,
+    # each with its own best-iterate select, freeze select, clamp, pin and
+    # finite check — ~1.7 ms/iteration of XLA fusion-scheduling overhead
+    # at B=256/K=384, on ~2.3 ms of real math (PERF.md round-2 profiler).
+    # The iterate now lives in ONE (B, L) array X = [z | s | lam | nu]
+    # (s and lam adjacent so the ratio test is a single masked reduction),
+    # so every piece of bookkeeping is one fused op instead of four.
+    L = n + 2 * m + q
+    zs, ss, ls, nus = (slice(0, n), slice(n, n + m),
+                       slice(n + m, n + 2 * m), slice(n + 2 * m, L))
+    sls = slice(n, n + 2 * m)                    # s|lam block (contiguous)
+
+    def pack(z, s, lam, nu):
+        return jnp.concatenate([z, s, lam, nu], axis=-1)
+
+    def unpack(X):
+        return X[..., zs], X[..., ss], X[..., ls], X[..., nus]
+
+    # Clamp floor: tiny on s/lam entries, -inf elsewhere (one fused max).
+    neg_inf = -jnp.asarray(jnp.finfo(dt).max, dt)
+    floor_row = jnp.concatenate([
+        jnp.full((n,), neg_inf, dt), jnp.full((2 * m,), consts["tiny"], dt),
+        jnp.full((q,), neg_inf, dt)])
+    # Pin mask/value rows: padded inequality rows held at (s = h,
+    # lam = tiny); z/nu entries always free.
+    if maskb is not None:
+        pinm = jnp.concatenate([
+            jnp.ones((B, n), bool), maskb, maskb,
+            jnp.ones((B, q), bool)], axis=-1)
+        pinv = jnp.concatenate([
+            jnp.zeros((B, n), dt), h,
+            jnp.full((B, m), consts["tiny"], dt),
+            jnp.zeros((B, q), dt)], axis=-1)
+    # Residual-norm mask over packed [rx | rz | ry] (rz rows only).
+    if maskb is not None:
+        rmask = jnp.concatenate([
+            jnp.ones((B, n), bool), maskb, jnp.ones((B, q), bool)], axis=-1)
+    mask2 = None if maskb is None else jnp.concatenate([maskb, maskb], -1)
+
+    def kkt_residuals_packed(X):
         # Accurate residuals are what lets bf16-precision directions
         # converge to f32-true solutions (see module precision note).
+        z, s, lam, nu = unpack(X)
         with _precision_ctx():
             rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
             rz = bmv(G, z) + Fmv(lam) + s - h
             ry = bmv(A, z) - b
-        return rx, rz, ry
+        return jnp.concatenate([rx, rz, ry], axis=-1)    # (B, n+m+q)
 
-    def resid_norm(rx, rz, ry):
-        rz_ = rz if maskb is None else jnp.where(maskb, rz, 0.0)
-        return jnp.maximum(
-            jnp.max(jnp.abs(rx), axis=-1, initial=0.0),
-            jnp.maximum(jnp.max(jnp.abs(rz_), axis=-1, initial=0.0),
-                        jnp.max(jnp.abs(ry), axis=-1, initial=0.0)))
+    def resid_norm_packed(r):
+        r_ = r if maskb is None else jnp.where(rmask, r, 0.0)
+        return jnp.max(jnp.abs(r_), axis=-1, initial=0.0)
+
+    def merit_of(X):
+        r = kkt_residuals_packed(X)
+        return comp_mu(X[..., ss], X[..., ls]) + resid_norm_packed(r), r
 
     def body(i, carry):
-        z, s, lam, nu, best, best_merit, done, iters, stall = carry
+        X, bestX, best_merit, done, iters, stall = carry
 
-        rx, rz, ry = kkt_residuals(z, s, lam, nu)
+        r = kkt_residuals_packed(X)
+        s, lam = X[..., ss], X[..., ls]
         mu = comp_mu(s, lam)
-        merit = mu + resid_norm(rx, rz, ry)
+        merit = mu + resid_norm_packed(r)
 
         improved = merit < best_merit
-        best = jax.tree.map(
-            lambda new, old: jnp.where(improved[..., None], new, old),
-            (z, s, lam, nu), best)
+        bestX = jnp.where(improved[..., None], X, bestX)
         best_merit = jnp.minimum(merit, best_merit)
 
         # Reference notImprovedLim: stall counter per instance.  A stalled
@@ -772,55 +847,54 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         if verbose:  # reference 'verbose' residual dump (SURVEY.md §5.1)
             jax.debug.print(
                 "pdipm iter {i}: mu={mu:.3e} resid={r:.3e} done={d}/{B}",
-                i=i, mu=jnp.max(mu), r=jnp.max(resid_norm(rx, rz, ry)),
+                i=i, mu=jnp.max(mu), r=jnp.max(resid_norm_packed(r)),
                 d=jnp.sum(new_done), B=new_done.shape[0])
 
         lam_safe = jnp.maximum(lam, consts["tiny"])
         d_inv = jnp.clip(s / lam_safe, consts["dinv_min"], consts["dinv_max"])
         kkt_solve = kkt_factor(d_inv)
 
-        # Predictor (affine scaling) direction.
+        # Predictor (affine scaling) direction.  rhs = -r with the
+        # complementarity correction added into the rz block.
         r4 = s * lam
-        rhs_aff = jnp.concatenate([-rx, -rz + r4 / lam_safe, -ry], axis=-1)
-        dz_a, dlam_a, _ = _split(kkt_solve(rhs_aff), n, m)
+        rhs_aff = (-r).at[..., n:n + m].add(r4 / lam_safe)
+        sol_a = kkt_solve(rhs_aff)
+        dlam_a = sol_a[..., n:n + m]
         ds_a = -r4 / lam_safe - d_inv * dlam_a
 
-        alpha_a = jnp.minimum(_max_step(s, ds_a, maskb),
-                              _max_step(lam, dlam_a, maskb))
-        mu_aff = comp_mu(s + alpha_a[..., None] * ds_a,
-                         lam + alpha_a[..., None] * dlam_a)
+        dsl_a = jnp.concatenate([ds_a, dlam_a], axis=-1)
+        sl = X[..., sls]
+        alpha_a = _max_step(sl, dsl_a, mask2)
+        sl_aff = sl + alpha_a[..., None] * dsl_a
+        mu_aff = comp_mu(sl_aff[..., :m], sl_aff[..., m:])
         sigma = jnp.clip(mu_aff / jnp.maximum(mu, consts["tiny"]),
                          0.0, 1.0) ** 3
 
         # Corrector (combined Mehrotra) direction, same factorization.
-        r4c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
-        rhs_c = jnp.concatenate([-rx, -rz + r4c / lam_safe, -ry], axis=-1)
-        dz, dlam, dnu = _split(kkt_solve(rhs_c), n, m)
+        r4c = r4 + ds_a * dlam_a - (sigma * mu)[..., None]
+        rhs_c = (-r).at[..., n:n + m].add(r4c / lam_safe)
+        sol_c = kkt_solve(rhs_c)
+        dlam = sol_c[..., n:n + m]
         ds = -r4c / lam_safe - d_inv * dlam
 
-        alpha = (0.99 * jnp.minimum(_max_step(s, ds, maskb),
-                                    _max_step(lam, dlam, maskb)))[..., None]
+        dX = jnp.concatenate([sol_c[..., :n], ds, dlam,
+                              sol_c[..., n + m:]], axis=-1)
+        alpha = (0.99 * _max_step(sl, dX[..., sls], mask2))[..., None]
 
-        z_n = z + alpha * dz
-        s_n = jnp.maximum(s + alpha * ds, consts["tiny"])
-        lam_n = jnp.maximum(lam + alpha * dlam, consts["tiny"])
-        s_n, lam_n = pin(s_n, lam_n)
-        nu_n = nu + alpha * dnu
+        X_n = jnp.maximum(X + alpha * dX, floor_row)
+        if maskb is not None:
+            X_n = jnp.where(pinm, X_n, pinv)
 
         # Divergence guard: freeze any instance that went non-finite.
-        bad = ~(jnp.all(jnp.isfinite(z_n), axis=-1)
-                & jnp.all(jnp.isfinite(s_n), axis=-1)
-                & jnp.all(jnp.isfinite(lam_n), axis=-1)
-                & jnp.all(jnp.isfinite(nu_n), axis=-1))
+        bad = ~jnp.all(jnp.isfinite(X_n), axis=-1)
         halt = new_done | bad
 
-        keep = lambda new, old: jnp.where(halt[..., None], old, new)
-        z, s, lam, nu = (keep(z_n, z), keep(s_n, s),
-                         keep(lam_n, lam), keep(nu_n, nu))
-        return z, s, lam, nu, best, best_merit, halt | done, iters, stall
+        X = jnp.where(halt[..., None], X, X_n)
+        return X, bestX, best_merit, halt | done, iters, stall
 
+    X0 = pack(z, s, lam, nu)
     init = (jnp.asarray(0, jnp.int32),
-            (z, s, lam, nu, (z, s, lam, nu), jnp.full((B,), big, dt),
+            (X0, X0, jnp.full((B,), big, dt),
              jnp.zeros((B,), bool), jnp.full((B,), max_iter, jnp.int32),
              jnp.zeros((B,), jnp.int32)))
 
@@ -829,24 +903,23 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     # this loop, so a while_loop costs nothing in reverse mode and saves
     # the tail iterations (typical scenes converge in ~6-8 of max 15-20).
     def cond(carry):
-        i, (_, _, _, _, _, _, done, _, _) = carry
+        i, (_, _, _, done, _, _) = carry
         return (i < max_iter) & ~jnp.all(done)
 
     def wl_body(carry):
         i, inner = carry
         return i + 1, body(i, inner)
 
-    _, (z, s, lam, nu, best, best_merit, done, iters, _) = \
+    _, (X, bestX, best_merit, done, iters, _) = \
         jax.lax.while_loop(cond, wl_body, init)
 
     # Return the best iterate seen (covers non-monotone tails, mirroring
     # the reference's notImprovedLim best-iterate fallback).
-    rx, rz, ry = kkt_residuals(z, s, lam, nu)
-    final_merit = comp_mu(s, lam) + resid_norm(rx, rz, ry)
+    final_merit, _ = merit_of(X)
     use_best = (best_merit < final_merit)[..., None]
-    z, s, lam, nu = jax.tree.map(
-        lambda b_, c: jnp.where(use_best, b_, c), best, (z, s, lam, nu))
+    X = jnp.where(use_best, bestX, X)
+    z, s, lam, nu = unpack(X)
     mu = comp_mu(s, lam)
-    rx, rz, ry = kkt_residuals(z, s, lam, nu)
+    r = kkt_residuals_packed(X)
     return maybe_squeeze(PdipmSolution(
-        z, s, lam, nu, mu, resid_norm(rx, rz, ry), iters))
+        z, s, lam, nu, mu, resid_norm_packed(r), iters))

@@ -325,16 +325,24 @@ def _gj_inv_blocked_call(Ktt):
 GJ_TWO_LEVEL = True
 
 
-def _gj_inverse(Ktt):
+def _gj_inverse(Ktt, exact=False):
     """Batched inverse of (B, P, P) diagonal blocks via the tiled
     Gauss-Jordan kernel (pivotless — quasi-definite blocks, for which
     every leading principal submatrix is nonsingular, so the two-level
-    Schur split below is well-posed)."""
+    Schur split below is well-posed).
+
+    ``exact=True`` forces the SCALAR GJ kernel even on TPU f32: the
+    rank-16 blocked MXU elimination inverts possibly ill-conditioned
+    16x16 pivot blocks explicitly and floors the downstream IPM residual
+    at ~8e-3 even with every matmul at 'highest', while the scalar
+    row-at-a-time kernel reaches ~1e-4 — parity with pivoted XLA LU
+    (PERF.md round-3 merit-floor finding)."""
     B, P = Ktt.shape[0], Ktt.shape[-1]
     dt = Ktt.dtype
     # Blocked (MXU) elimination on TPU f32; scalar kernel elsewhere (it is
     # precision-exact, which interpret-mode tests and f64 runs rely on).
-    blocked = (GJ_BLOCKED and dt == jnp.float32 and P % _GJ_BLOCK == 0
+    blocked = (GJ_BLOCKED and not exact and dt == jnp.float32
+               and P % _GJ_BLOCK == 0
                and (GJ_BLOCKED == "force" or not _interpret()))
     if blocked:
         if GJ_TWO_LEVEL and P >= 128 and (P // 2) % _GJ_BLOCK == 0:
@@ -378,7 +386,7 @@ def _gj_inverse(Ktt):
     return out[:B, :, P:]                                  # (B, P, P)
 
 
-def _blocked_lu(K):
+def _blocked_lu(K, exact=False):
     """Blocked right-looking factorization with FULL diagonal-block
     inverses: K (B, n, n) -> (blocks, binv) with blocks[t][s] the
     (B, P, P) off-diagonal factor blocks and binv[t] the (B, P, P)
@@ -408,10 +416,10 @@ def _blocked_lu(K):
         Kp = K
     get = lambda t, s: Kp[:, t * PANEL:(t + 1) * PANEL,
                           s * PANEL:(s + 1) * PANEL]
-    return _blocked_lu_from(get, B, n, dt)
+    return _blocked_lu_from(get, B, n, dt, exact)
 
 
-def _blocked_lu_from(get_block, B, n, dt):
+def _blocked_lu_from(get_block, B, n, dt, exact=False):
     """Blocked factorization from a LAZY block source: ``get_block(t, s)``
     returns the (B, P, P) input block.  Callers that assemble their matrix
     from a constant part plus cheap per-iteration corrections (the IPM's
@@ -427,7 +435,7 @@ def _blocked_lu_from(get_block, B, n, dt):
                                  preferred_element_type=dt)
     binvs = []
     for t in range(T):
-        binv_t = _gj_inverse(blk[t][t])
+        binv_t = _gj_inverse(blk[t][t], exact)
         binvs.append(binv_t)
         for s in range(t + 1, T):          # U row: binv_t @ K[t, s]
             blk[t][s] = mm(binv_t, blk[t][s])
@@ -439,14 +447,15 @@ def _blocked_lu_from(get_block, B, n, dt):
     return blocks, binv
 
 
-def plu_factor_blocks(get_block, B, n, dtype, solve_dtype=None):
+def plu_factor_blocks(get_block, B, n, dtype, solve_dtype=None,
+                      exact=False):
     """Pivotless blocked factorization from a lazy per-block source (see
     :func:`_blocked_lu_from`).  ``get_block(t, s)`` must return the
     (B, PANEL, PANEL) block of the n_pad-padded matrix (identity on the
     padded diagonal, zero elsewhere in the padding).  Only valid for
     n > MAX_LANE_N (the blocked path); returns a :func:`plu_solve` factor."""
     assert pallas_supported(n) and _ru(n, _SUBLANE) > MAX_LANE_N
-    return _wrap_blocked(_blocked_lu_from(get_block, B, n, dtype),
+    return _wrap_blocked(_blocked_lu_from(get_block, B, n, dtype, exact),
                          B, n, dtype, solve_dtype)
 
 
@@ -521,7 +530,7 @@ def _blocked_solve(fac2, r, n, trans=0):
     return jnp.concatenate(xs, axis=-1)[:, :n]
 
 
-def plu_factor(K, solve_dtype=None):
+def plu_factor(K, solve_dtype=None, exact=False):
     """Pivotless LU of a batch of small/medium dense matrices K (B, n, n).
 
     Dispatches on size: lane-batched kernel (n <= 88), blocked per-world
@@ -541,7 +550,8 @@ def plu_factor(K, solve_dtype=None):
         f"pallas LU supports n <= {MAX_BLOCKED_N}, got {n}; "
         "use the 'xla' backend for larger systems")
     if max(_ru(n, _SUBLANE), _SUBLANE) > MAX_LANE_N:
-        return _wrap_blocked(_blocked_lu(K), B, n, K.dtype, solve_dtype)
+        return _wrap_blocked(_blocked_lu(K, exact), B, n, K.dtype,
+                             solve_dtype)
     dt = K.dtype
     n_pad = max(_ru(n, _SUBLANE), _SUBLANE)
     L = _lane_tile(n_pad, jnp.dtype(dt).itemsize)

@@ -103,6 +103,17 @@ class SimConfig:
     # recovers the digit the f32 pivotless factor loses on contact-rich
     # scenes (PERF.md) at ~+30% per-iteration cost; no effect in f64.
     solver_refine: int = 0
+    # Precision of the forward per-iteration KKT factorization on TPU
+    # (None = fast: single-pass bf16 matmuls + rank-16 blocked GJ panel
+    # inversion; 'highest' = 3-pass f32 matmuls + the precision-exact
+    # scalar GJ kernel).  Round-3 finding (PERF.md): the dense-scene f32
+    # merit floor TRACKS the factor configuration — fast ~4e-2, 'highest'
+    # ~1e-4 (parity with the pivoted xla backend) at ~half the dense
+    # throughput (7.8k -> 3.8k steps/s; converging solves run more real
+    # iterations than stalling ones).  Accuracy ladder at f32:
+    # default (4e-2) < solver_refine=1 (1.6e-3, -17%) <
+    # factor_precision='highest' (1e-4, -52%).  No effect at f64.
+    solver_factor_precision: str | None = None
     # Reference notImprovedLim: per-instance IPM stall exit — freeze an
     # instance at its best iterate after this many consecutive
     # non-improving iterations (0 = off).  At f32, contact-rich systems
@@ -131,6 +142,14 @@ class SimConfig:
     # since non-overlapping pairs never produce contacts).  On a touching
     # 64-hull grid only ~200 of 2016 static pairs overlap; 0 = no budget.
     hull_pair_budget: int = 0
+    # In-jit per-world dt-halving backtrack on fresh penetration for the
+    # batched/scan path (make_step_batched): the reference World.step
+    # restore-and-retry semantics without host round-trips.  A bounded
+    # stop-gradient while_loop finds the accepted per-world dt, then one
+    # differentiable re-solve runs at it (costs one extra forward solve
+    # when nothing penetrates).  Worlds that backtrack advance t by their
+    # accepted smaller dt.  Off by default (throughput).
+    penetration_backtrack: bool = False
 
     def __post_init__(self):
         # Fail fast at construction, not deep inside the first jitted step

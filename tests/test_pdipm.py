@@ -361,3 +361,27 @@ def test_lazy_block_assembly_matches_xla():
     sx = lcp_solve_full(qd, p, G, h, None, None, F, backend="xla", **kw)
     np.testing.assert_allclose(np.asarray(sp.z), np.asarray(sx.z),
                                atol=5e-8)
+
+
+def test_factor_precision_knob_plumbs_through():
+    """factor_precision reaches the forward factorization (trace-time
+    ambient precision) without changing results on CPU (where f32 matmuls
+    are exact regardless); gradients still flow.  The accuracy effect is
+    TPU-only (PERF.md round-3 merit-floor finding)."""
+    rng = np.random.default_rng(12)
+    n, m, q = 8, 6, 2
+    Q, p, G, h, A, b, F = random_qp(rng, n, m, q)
+    qd = jnp.asarray(np.diag(np.asarray(Q)))
+
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    z0 = lcp_solve(qd, p, G, h, A, b, None, q_is_diag=True, max_iter=25,
+                   tol=1e-10)
+    z1 = lcp_solve(qd, p, G, h, A, b, None, q_is_diag=True, max_iter=25,
+                   tol=1e-10, factor_precision="highest")
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-9)
+
+    g = jax.grad(lambda hh: jnp.sum(lcp_solve(
+        qd, p, G, hh, A, b, None, q_is_diag=True, max_iter=25, tol=1e-10,
+        factor_precision="highest") ** 2))(h)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -425,3 +425,80 @@ def test_blocked_pallas_backend_trajectory_matches_xla():
     np.testing.assert_allclose(np.asarray(trajs["pallas"].p),
                                np.asarray(trajs["xla"].p),
                                atol=1e-6)
+
+
+def test_penetration_backtrack_batched():
+    """In-jit dt-halving (SimConfig.penetration_backtrack): a fast body
+    that would tunnel/penetrate deeply in one full step gets a per-world
+    halved dt; post-step penetration stays controlled with NO host
+    round-trips, and untroubled worlds in the same batch keep the full
+    dt (reference World.step semantics on the batched path)."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.0)
+    # ground top at y = -1; fast ball (radius 1) approaching the ground,
+    # speculative OFF so the overlap-only activation can overshoot.
+    tol = 1e-6
+    cfg_off = SimConfig(speculative=False, tol=tol)
+    cfg_on = SimConfig(speculative=False, tol=tol,
+                       penetration_backtrack=True, max_dt_halvings=8)
+    dt = 0.05
+    # world 0: ball falling fast onto the ground; world 1: ball far away
+    p0 = np.array([[[0., 0., -2.4], [0., 0., 0.]],
+                   [[0., 0., -30.], [0., 0., 0.]]])
+    v0 = np.array([[[0., 0., 12.0], [0., 0., 0.]],
+                   [[0., 0., 0.], [0., 0., 0.]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.asarray(v0),
+                        t=jnp.zeros((2,)))
+
+    s_off = jax.jit(make_step_batched(static, cfg_off))
+    s_on = jax.jit(make_step_batched(static, cfg_on))
+    out_off, d_off = s_off(params, states, dt)
+    out_on, d_on = s_on(params, states, dt)
+
+    # Without backtrack the fast world penetrates deeply.
+    assert float(d_off.max_penetration[0]) > 0.05
+    # With backtrack, fresh penetration is bounded by tol.
+    fresh = d_on.max_penetration - d_on.pre_penetration
+    assert float(d_on.max_penetration[0]) <= tol or float(fresh[0]) <= tol
+    assert float(d_on.max_penetration[0]) < 1e-3
+    assert int(d_on.halvings[0]) >= 1
+    # The far-away world keeps the full dt and matches the plain step.
+    assert int(d_on.halvings[1]) == 0
+    np.testing.assert_allclose(np.asarray(out_on.p[1]),
+                               np.asarray(out_off.p[1]), atol=1e-12)
+    np.testing.assert_allclose(float(out_on.t[1]), dt, atol=1e-12)
+    # Backtracked world advanced by its accepted smaller dt.
+    assert float(out_on.t[0]) < dt - 1e-9
+
+
+def test_penetration_backtrack_noop_and_grads():
+    """With nothing penetrating, backtrack on == off bit-identically, and
+    gradients flow through the accepted step."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.3)
+    cfg_on = SimConfig(penetration_backtrack=True)
+    cfg_off = SimConfig()
+    p0 = np.array([[[0., 0., -5.], [0., 0., 0.]],
+                   [[0., 1., -4.], [0., 0., 0.]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.zeros((2, 2, 3)),
+                        t=jnp.zeros((2,)))
+    s_on = jax.jit(make_step_batched(static, cfg_on))
+    s_off = jax.jit(make_step_batched(static, cfg_off))
+    o_on, d_on = s_on(params, states, DT)
+    o_off, _ = s_off(params, states, DT)
+    np.testing.assert_array_equal(np.asarray(o_on.p), np.asarray(o_off.p))
+    np.testing.assert_array_equal(np.asarray(o_on.v), np.asarray(o_off.v))
+    assert int(jnp.max(d_on.halvings)) == 0
+
+    step_on = make_step_batched(static, cfg_on)
+
+    def loss(mass):
+        pr = params.__class__(**{**params.__dict__,
+                                 "mass": params.mass.at[0].set(mass)})
+        out, _ = step_on(pr, states, DT)
+        return jnp.sum(out.p ** 2) + jnp.sum(out.v ** 2)
+
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(float(g))
