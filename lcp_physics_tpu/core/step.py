@@ -230,8 +230,11 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
                      not_improved_lim=config.solver_stall_lim,
                      factor_precision=config.solver_factor_precision)
     # trailing C inequality rows are the friction-cone slack block
-    # (zero G rows, diagonal Schur block) -> analytic elimination
-    dyn_kw = dict(solver_kw, gamma_rows=C)
+    # (zero G rows, diagonal Schur block) -> analytic elimination; the
+    # assembly's +-t tangent pairs additionally enable the friction-pair
+    # rotation elimination (lcp/pdipm.py _rot_factor_factory)
+    dyn_kw = dict(solver_kw, gamma_rows=C,
+                  fric_pair=(config.fric_dirs == 2))
 
     pairs = static.pair_lists()
     counts = static.counts_np()
@@ -275,7 +278,7 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     # (bit-identical to the old scalar path).
     assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, 0))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
-    dyn_kw = dict(solver_kw, gamma_rows=C)
+    dyn_kw = dict(solver_kw, gamma_rows=C, fric_pair=(config.fric_dirs == 2))
 
     pairs = static.pair_lists()
     counts = static.counts_np()

@@ -46,41 +46,45 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
 from lcp_physics_tpu.lcp.util import bger
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+@partial(jax.custom_vjp,
+         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
                     diag_q, gamma_rows, refine, not_improved_lim,
-                    factor_precision):
+                    factor_precision, fric_pair):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
-                      factor_precision=factor_precision)
+                      factor_precision=factor_precision,
+                      fric_pair=fric_pair)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
-             gamma_rows, refine, not_improved_lim, factor_precision):
+             gamma_rows, refine, not_improved_lim, factor_precision,
+             fric_pair):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
-                      factor_precision=factor_precision)
+                      factor_precision=factor_precision,
+                      fric_pair=fric_pair)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
-             not_improved_lim, factor_precision, residuals, g):
+             not_improved_lim, factor_precision, fric_pair, residuals, g):
     # (factor_precision governs the FORWARD factor only; the backward
     # one-shot solve always traces under 'highest'.)
     from lcp_physics_tpu.lcp.pdipm import _precision_ctx
     with _precision_ctx():
         return _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows,
-                             refine, residuals, g)
+                             refine, residuals, g, fric_pair)
 
 
 def _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows, refine,
-                  residuals, g):
+                  residuals, g, fric_pair=False):
     z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
@@ -114,7 +118,7 @@ def _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows, refine,
         kkt = make_kkt_factor(Q, Q if diag_q else None, G, A, F,
                               consts["reg"], backend,
                               gamma_rows if diag_q else 0,
-                              refine=refine)(d_inv)
+                              refine=refine, fric_pair=fric_pair)(d_inv)
         rhs = jnp.concatenate(
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
         w = kkt(rhs, trans=1)
@@ -202,7 +206,7 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
-              not_improved_lim=3, factor_precision=None):
+              not_improved_lim=3, factor_precision=None, fric_pair=False):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -223,15 +227,15 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
         row_mask = jnp.asarray(row_mask, h.dtype)
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
-                           not_improved_lim, factor_precision)
+                           not_improved_lim, factor_precision, fric_pair)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    max_iter=20, tol=1e-7, backend="auto",
                    gamma_rows=0, q_is_diag=None,
                    row_mask=None, refine=0,
-                   not_improved_lim=3,
-                   factor_precision=None) -> PdipmSolution:
+                   not_improved_lim=3, factor_precision=None,
+                   fric_pair=False) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -243,7 +247,8 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                        backend=backend, q_is_diag=diag_q,
                        gamma_rows=gamma_rows, row_mask=row_mask,
                        refine=refine, not_improved_lim=not_improved_lim,
-                       factor_precision=factor_precision)
+                       factor_precision=factor_precision,
+                       fric_pair=fric_pair)
 
 
 class LCPFunction:

@@ -135,7 +135,8 @@ def resolve_backend(backend: str, nk: int = None) -> str:
 
 
 def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
-                    refine=0, fwd_fast=False, fwd_precision=None):
+                    refine=0, fwd_fast=False, fwd_precision=None,
+                    fric_pair=False):
     """KKT solve operator factory.
 
     Returns ``factor(d_inv) -> solve(rhs, trans)`` for the reduced KKT
@@ -228,6 +229,25 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     g_ = gamma_rows
     mg = m - g_                                      # kept inequality rows
     K = mg + q
+
+    # ---- friction-pair rotation (third-level Schur; round 3) ------------
+    # The engine's two friction directions per contact are EXACT negatives
+    # (orthogonal_tangents returns (+t, -t), so the G row for f2 is -1 *
+    # the row for f1 bit-exactly).  Rotating each (f1, f2) pair to
+    # (u, v) = ((f1+f2)/sqrt2, (f1-f2)/sqrt2) makes the u rows' dense
+    # Schur part VANISH (G_u = 0): u couples only diagonally to itself,
+    # its own v partner, and its own normal row — so u is eliminated in
+    # closed form exactly like the gamma rows, shrinking the factored
+    # system from C*(1+fd)+q to 2C+q rows (384 -> 256 on the 64-body
+    # dense scene: one fewer 128-panel to invert, 0.44x the S plane).
+    # Only valid when the caller GUARANTEES the +-pair structure
+    # (``fric_pair=True`` — core/step.py's assembly always satisfies it);
+    # arbitrary user Jf takes the plain gamma path below.
+    if cone and fric_pair and F.fd == 2 and g_ == F.C and mg == 3 * F.C:
+        return _rot_factor_factory(
+            Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
+            fwd_precision, B, n, m, q, dt, qinv, store_dt, exact_fwd)
+
     be = resolve_backend(backend, K)
     Ghat_k = jnp.concatenate([G[:, :mg, :], A], axis=-2)  # (B, K, n)
     with _precision_ctx():
@@ -430,6 +450,187 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     return factor_schur_gamma
 
 
+def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
+                        fwd_precision, B, n, m, q, dt, qinv, store_dt,
+                        exact_fwd):
+    r"""Gamma + friction-pair-rotation KKT solve factory (see the call
+    site in :func:`make_kkt_factor` for the derivation sketch).
+
+    Row layouts:
+      original kept rows (post gamma-elim): [c (C), f1 (C), f2 (C), q]
+      rotated/reduced core rows:            [c (C), v (C), q],  K2 = 2C+q
+    with u = (f1+f2)/sqrt2 eliminated analytically.  Writing the
+    per-contact banded pieces (cn = valid*mu*Dginv, cf = -valid*Dginv,
+    a_d = -(d_inv_fd + reg) + cf, alpha = (a1+a2)/2, delta = (a1-a2)/2):
+
+      S'[u,u] = alpha + cf =: g_u        S'[u,v] = S'[v,u] = delta
+      S'[u,c] = sqrt2 * cn               S'[c,u] = S'[q,u] = 0
+      S'[v,v] = alpha - cf  (+ dense -2 P_f1f1)
+      S'[v,c] = 0 (+ dense)              S'[c,v], dense only
+
+    so eliminating u adds only DIAGONAL corrections:
+      S''[v,v] += -delta^2 / g_u
+      S''[v,c]  = -delta * sqrt2 * cn / g_u   (S'[v,c] = 0)
+    and the dense part of S'' is exactly -Ghat2 Q^-1 Ghat2^T with
+    Ghat2 = [G_c; sqrt2 * G_f1; A].
+    """
+    C_ = F.C
+    mg = 3 * C_
+    K2 = 2 * C_ + q
+    be = resolve_backend(backend, K2)
+    sq2 = jnp.sqrt(jnp.asarray(2.0, dt))
+    v_, mu_v = F.valid, F.mu
+    Ghat2 = jnp.concatenate([G[:, :C_, :], sq2 * G[:, C_:2 * C_, :], A],
+                            axis=-2)                      # (B, K2, n)
+    with _precision_ctx():
+        P2 = jnp.einsum("bmn,bn,bkn->bmk", Ghat2, qinv, Ghat2)
+
+    import numpy as _np
+    rowK = _np.arange(K2)[:, None]
+    colK = _np.arange(K2)[None, :]
+    diag_np = rowK == colK
+    band_vc_np = (rowK - C_ == colK) & (colK < C_)   # (v-row, c-col) diag
+
+    def rot_scalars(d_inv, Dginv):
+        cn = v_ * mu_v * Dginv
+        cf = -v_ * Dginv
+        d_c = d_inv[..., :C_]
+        a1 = -(d_inv[..., C_:2 * C_] + reg) + cf
+        a2 = -(d_inv[..., 2 * C_:3 * C_] + reg) + cf
+        alpha = 0.5 * (a1 + a2)
+        delta = 0.5 * (a1 - a2)
+        g_u = alpha + cf                              # < 0, nonsingular
+        # S = -P2 - diag(dmain) + band; dmain holds the NEGATED diagonal
+        # corrections (matching the plain gamma path's convention).
+        dmain = jnp.concatenate([
+            d_c + reg,
+            -(alpha - cf - delta * delta / g_u),
+            jnp.full((B, q), reg, dt)], axis=-1)
+        bn = -sq2 * cn * delta / g_u
+        return cn, delta, g_u, dmain, bn
+
+    def assemble_S2(dmain, bn):
+        S = -P2 - jnp.where(jnp.asarray(diag_np), dmain[..., None, :], 0.0)
+        wide = jnp.zeros((B, K2), dt).at[:, :C_].set(bn)
+        return S + jnp.where(jnp.asarray(band_vc_np),
+                             wide[..., None, :], 0.0)
+
+    # Lazy block-grid assembly (mirrors the plain gamma path): S2 is never
+    # materialized on the blocked pallas path at refine == 0.
+    lazy_ok = False
+    if refine == 0:
+        from lcp_physics_tpu.ops.linalg import (MAX_LANE_N, PANEL,
+                                                _ru as _ru_)
+
+        lazy_ok = (be == "pallas" and _ru_(K2, 8) > MAX_LANE_N)
+        if lazy_ok:
+            K_pad = _ru_(K2, PANEL)
+            negP_pad = jnp.zeros((B, K_pad, K_pad), dt)
+            negP_pad = negP_pad.at[:, :K2, :K2].set(-P2)
+            if K_pad > K2:
+                idxp = jnp.arange(K2, K_pad)
+                negP_pad = negP_pad.at[:, idxp, idxp].set(1.0)
+            band_pad = _np.zeros((K_pad, K_pad), bool)
+            band_pad[:K2, :K2] = band_vc_np
+
+            def make_get_block(dmain, bn):
+                bn_wide = jnp.zeros((B, K2), dt).at[:, :C_].set(bn)
+
+                def get_block(t, s):
+                    r0, c0 = t * PANEL, s * PANEL
+                    val = negP_pad[:, r0:r0 + PANEL, c0:c0 + PANEL]
+                    cs = slice(c0, min(c0 + PANEL, K2))
+                    w = cs.stop - cs.start
+                    if t == s and w > 0:
+                        dsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                            dmain[..., cs])
+                        eye_p = jnp.eye(PANEL, dtype=dt)
+                        val = val - dsub[..., None, :] * eye_p
+                    sub = band_pad[r0:r0 + PANEL, c0:c0 + PANEL]
+                    if sub.any():
+                        wsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                            bn_wide[..., cs])
+                        val = val + jnp.where(jnp.asarray(sub),
+                                              wsub[..., None, :], 0.0)
+                    return val
+                return get_block
+
+    def factor_rot(d_inv):
+        Dg = d_inv[..., mg:] + reg                   # -S_gg diagonal
+        Dginv = 1.0 / Dg
+        cn, delta, g_u, dmain, bn = rot_scalars(d_inv, Dginv)
+        if lazy_ok:
+            from lcp_physics_tpu.ops.linalg import plu_factor_blocks
+
+            with _fwd_factor_ctx(fwd_precision):
+                fac = plu_factor_blocks(make_get_block(dmain, bn), B, K2,
+                                        dt, store_dt, exact=exact_fwd)
+            S2 = None
+        else:
+            S2 = assemble_S2(dmain, bn)
+            with _fwd_factor_ctx(fwd_precision):
+                fac = _factor(S2, be, store_dt, exact=exact_fwd)
+
+        def solve_red(rhs_red, trans):
+            return _solve_refined(fac, S2, rhs_red, be, trans, refine)
+
+        def solve(rhs, trans=0):
+            r1, r2 = rhs[..., :n], rhs[..., n:]
+            r_c = r2[..., :C_]
+            r_f1 = r2[..., C_:2 * C_]
+            r_f2 = r2[..., 2 * C_:3 * C_]
+            rg = r2[..., mg:m]                       # gamma rows
+            r_q = r2[..., m:]
+            ru = (r_f1 + r_f2) / sq2
+            rv = (r_f1 - r_f2) / sq2
+            with _precision_ctx():                   # rhs transform: exact
+                y = jnp.einsum("bkn,bn->bk", Ghat2, qinv * r1)
+            t_c = r_c - y[..., :C_]
+            t_v = rv - y[..., C_:2 * C_]
+            t_q = r_q - y[..., 2 * C_:]
+            tD = Dginv * rg
+            if trans == 0:
+                # gamma rhs correction (Skg): friction rows get -v*tD
+                # each -> u only; then eliminate u.
+                t_u = ru - sq2 * v_ * tD
+                rhs2 = jnp.concatenate(
+                    [t_c, t_v - (delta / g_u) * t_u, t_q], axis=-1)
+                wk = solve_red(rhs2, 0)
+                w_c = wk[..., :C_]
+                w_v = wk[..., C_:2 * C_]
+                w_q = wk[..., 2 * C_:]
+                w_u = (t_u - sq2 * cn * w_c - delta * w_v) / g_u
+                # wg = -Dginv (rg - Sgk wk);  Sgk wk = -mu v w_c
+                #   + v (w_f1 + w_f2) = -mu v w_c + sqrt2 v w_u
+                wg = -Dginv * (rg - (-mu_v * w_c + sq2 * v_ * w_u))
+            else:
+                # transpose: Sgk^T rhs correction, then eliminate u of
+                # S'^T (u-row [0, g_u, delta]; u-col [sqrt2 cn, delta]).
+                t_c = t_c - mu_v * tD
+                t_u = ru + sq2 * v_ * tD
+                rhs2 = jnp.concatenate(
+                    [t_c - sq2 * cn * t_u / g_u,
+                     t_v - (delta / g_u) * t_u, t_q], axis=-1)
+                wk = solve_red(rhs2, 1)
+                w_c = wk[..., :C_]
+                w_v = wk[..., C_:2 * C_]
+                w_q = wk[..., 2 * C_:]
+                w_u = (t_u - delta * w_v) / g_u
+                # wg = -Dginv (rg - Skg^T wk);  Skg^T wk = -v (w_f1 +
+                # w_f2) = -sqrt2 v w_u
+                wg = -Dginv * (rg + sq2 * v_ * w_u)
+            w_f1 = (w_u + w_v) / sq2
+            w_f2 = (w_u - w_v) / sq2
+            w_full = jnp.concatenate([w_c, w_f1, w_f2, wg, w_q], axis=-1)
+            with _precision_ctx():
+                z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat2, wk))
+            return jnp.concatenate([z, w_full], axis=-1)
+
+        return solve
+
+    return factor_rot
+
+
 # Store forward-iteration blocked factors in bf16 on TPU: the MXU reads
 # f32 operands as bf16 at default precision anyway, so the cast halves
 # the HBM bytes of every block-substitution solve without changing the
@@ -578,7 +779,8 @@ def _solve_eq_kkt(Q, p, A, b, reg=None, backend="xla"):
 def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
                 gamma_rows=0, q_is_diag=None, row_mask=None, refine=0,
-                not_improved_lim=3, factor_precision=None):
+                not_improved_lim=3, factor_precision=None,
+                fric_pair=False):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -612,12 +814,13 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         backend=backend, q_diag=q_diag, verbose=verbose,
         gamma_rows=gamma_rows, q_is_diag=q_is_diag, row_mask=row_mask,
         refine=refine, not_improved_lim=not_improved_lim,
-        factor_precision=factor_precision)
+        factor_precision=factor_precision, fric_pair=fric_pair)
 
 
 def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                  verbose, gamma_rows, q_is_diag, row_mask, refine,
-                 not_improved_lim, factor_precision=None):
+                 not_improved_lim, factor_precision=None,
+                 fric_pair=False):
     # Q may arrive in DIAGONAL form (shape == p.shape): the physics mass
     # matrix.  It is then never expanded to (B, n, n) — the Schur path
     # only needs its shape/dtype and the residuals use an elementwise
@@ -697,7 +900,8 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     kkt_factor = make_kkt_factor(Q, q_diag, G, A, F, reg, backend,
                                  gamma_rows if q_diag is not None else 0,
                                  refine=refine, fwd_fast=True,
-                                 fwd_precision=factor_precision)
+                                 fwd_precision=factor_precision,
+                                 fric_pair=fric_pair)
 
     # ---- Fused whole-IPM kernel dispatch (ops/ipm.py): engine layout
     # (diag Q + ConeF + gamma elimination) with a small Schur system.

@@ -385,3 +385,89 @@ def test_factor_precision_knob_plumbs_through():
         qd, p, G, hh, A, b, None, q_is_diag=True, max_iter=25, tol=1e-10,
         factor_precision="highest") ** 2))(h)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _engine_layout_instance(rng, B, n, C, fd=2):
+    """Random batch with the ENGINE's row structure: G = [-Jc; -Jf1; -Jf2;
+    0_gamma] with Jf2 = -Jf1 bit-exactly (orthogonal_tangents returns
+    (+t, -t)), ConeF coupling, padded rows via valid mask."""
+    from lcp_physics_tpu.lcp import ConeF
+
+    qd = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    p = jnp.asarray(rng.standard_normal((B, n)))
+    valid = jnp.asarray((rng.random((B, C)) < 0.8).astype(float))
+    mu = jnp.asarray(rng.uniform(0.3, 1.0, (B, C))) * valid
+    Jc = rng.standard_normal((B, C, n)) * np.asarray(valid)[..., None]
+    Jf1 = rng.standard_normal((B, C, n)) * np.asarray(valid)[..., None]
+    Jf = np.concatenate([Jf1, -Jf1], axis=1)
+    G = jnp.asarray(np.concatenate([-Jc, -Jf, np.zeros((B, C, n))], axis=1))
+    jcv = jnp.einsum("bcn,bn->bc", jnp.asarray(Jc), p)
+    h = jnp.concatenate([jnp.where(valid > 0, 0.3 * jcv, 1.0),
+                         jnp.where(jnp.tile(valid, (1, fd)) > 0, 0.0, 1.0),
+                         jnp.where(valid > 0, 0.0, 1.0)], axis=-1)
+    rmask = jnp.concatenate([valid, jnp.tile(valid, (1, fd)), valid], -1)
+    F = ConeF(mu=mu, valid=valid, fd=fd)
+    return qd, p, G, h, F, rmask
+
+
+def test_fric_pair_rotation_matches_plain_gamma():
+    """The friction-pair rotation elimination (third-level Schur,
+    lcp/pdipm.py _rot_factor_factory) must reproduce the plain gamma
+    path's solutions and gradients on engine-structured systems."""
+    from lcp_physics_tpu.lcp import lcp_solve, lcp_solve_full
+
+    rng = np.random.default_rng(23)
+    B, n, C = 3, 12, 8
+    qd, p, G, h, F, rmask = _engine_layout_instance(rng, B, n, C)
+    kw = dict(max_iter=25, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, backend="xla")
+    s0 = lcp_solve_full(qd, p, G, h, None, None, F, **kw)
+    s1 = lcp_solve_full(qd, p, G, h, None, None, F, fric_pair=True, **kw)
+    # different elimination order -> slightly different iterates; both
+    # converge to the same KKT point within solver tolerance
+    np.testing.assert_allclose(np.asarray(s1.z), np.asarray(s0.z),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.lam), np.asarray(s0.lam),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.s), np.asarray(s0.s),
+                               atol=1e-4)
+
+    # gradients (implicit KKT backward goes through the rotated factor's
+    # trans=1 solve): same as the plain path up to iterate differences,
+    # and consistent with finite differences of the rot path itself.
+    def loss(fp, h_):
+        return jnp.sum(lcp_solve(qd, p, G, h_, None, None, F,
+                                 fric_pair=fp, **kw) ** 2)
+
+    g0 = jax.grad(lambda h_: loss(False, h_))(h)
+    g1 = jax.grad(lambda h_: loss(True, h_))(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-4)
+    eps = 1e-6
+    rng2 = np.random.default_rng(0)
+    for _ in range(4):
+        b_ = int(rng2.integers(0, h.shape[0]))
+        k_ = int(rng2.integers(0, h.shape[1]))
+        hp = h.at[b_, k_].add(eps)
+        hm = h.at[b_, k_].add(-eps)
+        fd_g = (loss(True, hp) - loss(True, hm)) / (2 * eps)
+        np.testing.assert_allclose(float(g1[b_, k_]), float(fd_g),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_fric_pair_rotation_lazy_blocked_path():
+    """Rotation + lazy block-grid assembly (pallas interpret on CPU) must
+    match the xla rotation path when K2 = 2C+q exceeds the lane kernel."""
+    from lcp_physics_tpu.lcp import lcp_solve_full
+
+    rng = np.random.default_rng(29)
+    B, n, C = 2, 10, 64                   # K2 = 128 > MAX_LANE_N
+    qd, p, G, h, F, rmask = _engine_layout_instance(rng, B, n, C)
+    kw = dict(max_iter=20, tol=1e-10, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, fric_pair=True)
+    sx = lcp_solve_full(qd, p, G, h, None, None, F, backend="xla", **kw)
+    sp = lcp_solve_full(qd, p, G, h, None, None, F, backend="pallas", **kw)
+    # pivotless vs pivoted factorization -> slightly different iterates
+    np.testing.assert_allclose(np.asarray(sp.z), np.asarray(sx.z),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp.lam), np.asarray(sx.lam),
+                               atol=1e-4)
