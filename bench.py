@@ -98,7 +98,8 @@ def bench_lcp_solves(B=4096):
         from lcp_physics_tpu.utils import SimConfig
         return lcp_solve(Q, p, G, h, A, b, F, max_iter=15, tol=1e-6,
                          gamma_rows=C, row_mask=row_mask,
-                         not_improved_lim=SimConfig.solver_stall_lim)
+                         not_improved_lim=SimConfig.solver_stall_lim,
+                         fric_pair=True)
 
     sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
                        blocks["h"], blocks["A"], blocks["b"], blocks["F"],
@@ -277,11 +278,17 @@ def main():
             bench_scale_up()
     except Exception as e:  # secondary metrics must not kill the primary
         log(f"[bench] secondary benches failed: {e!r}")
+    # "profile" pins the solver configuration the headline was measured
+    # under (VERDICT r2 weak #8): round-over-round numbers stay
+    # comparable even if engine defaults change again.
+    from lcp_physics_tpu.utils import SimConfig
     print(json.dumps({
         "metric": "batched contact-LCP solves/sec/chip",
         "value": round(rate, 1),
         "unit": "solves/sec",
         "vs_baseline": round(rate / NORTH_STAR, 3),
+        "profile": (f"stall_lim={SimConfig.solver_stall_lim},max_iter=15,"
+                    f"tol=1e-6,backend=auto,fric_pair=True"),
     }))
 
 

@@ -160,13 +160,16 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
     m, q = G.shape[-2], A.shape[-2]
     dt = Q.dtype
     cone = isinstance(F, ConeF)
-    store_dt = _fwd_store_dtype(dt) if fwd_fast else None
     # 'highest' also selects the precision-exact scalar GJ kernel for the
     # blocked pallas factor: the rank-16 blocked elimination floors the
     # IPM residual at ~8e-3 even with all matmuls at 'highest' (explicit
     # inverses of ill-conditioned pivot blocks), while the scalar kernel
     # reaches ~1e-4 — parity with pivoted XLA LU (PERF.md round-3).
     exact_fwd = fwd_precision in ("highest", "float32")
+    # bf16 factor storage only on the fast forward path — an exact
+    # (factor_precision='highest') factor must stay f32 end to end.
+    store_dt = _fwd_store_dtype(dt) if (fwd_fast and not exact_fwd) \
+        else None
 
     if q_diag is None:
         if cone:
@@ -634,11 +637,15 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
 # Store forward-iteration blocked factors in bf16 on TPU: the MXU reads
 # f32 operands as bf16 at default precision anyway, so the cast halves
 # the HBM bytes of every block-substitution solve without changing the
-# computed direction.  Measured OFF-by-default: at B=256 the solves are
-# XLA-op-overhead bound, not bandwidth bound, and the cast pass made the
-# dense bench ~2% slower (PERF.md round-2).  Never applied on the
-# backward/one-shot path (it traces without this flag and at 'highest').
-FWD_FACTOR_STORE_BF16 = False
+# computed direction.  Round-2 measured this OFF (solves were then
+# XLA-op-overhead bound and the cast cost ~2%); after the round-3
+# friction-pair rotation the substitutions sit at the HBM roofline
+# (tools/roofline.py: 0.43 ms vs 0.29 ms floor) and bf16 storage is a
+# +8% dense-step win (11,248 -> 12,163 steps/s), so it is now ON.
+# Never applied on the backward/one-shot path (traces without fwd_fast,
+# at 'highest') nor when factor_precision='highest' requests an exact
+# f32 factor.
+FWD_FACTOR_STORE_BF16 = True
 
 
 def _fwd_store_dtype(dt):
