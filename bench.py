@@ -103,7 +103,7 @@ def bench_lcp_solves(B=4096):
 
     sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
                        blocks["h"], blocks["A"], blocks["b"], blocks["F"],
-                       blocks["row_mask"], reps=5)
+                       blocks["row_mask"], reps=200)
     rate = B / sec
     log(f"[bench] batched contact LCP (engine-assembled): B={B} n={3*N} "
         f"m={m} q={q}, avg {n_active:.1f} active contacts: "
@@ -172,7 +172,9 @@ def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
         return out
 
-    sec = time_fn(run, params, states, iters=3)
+    # iters=8: the single end-of-loop materialization costs one ~30 ms
+    # tunnel RTT; at iters=3 that is a +10 ms/call bias (CLAUDE.md).
+    sec = time_fn(run, params, states, iters=8)
     rate = B * n_steps / sec
     tag = "dense" if dense else "loose"
     geo = "hull" if hulls else "circle"
@@ -214,7 +216,7 @@ def bench_fwd_bwd(B=64, n_steps=20):
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
         return jnp.mean(out.p ** 2)
 
-    sec = time_fn(loss, params, iters=3)
+    sec = time_fn(loss, params, iters=10)
     log(f"[bench] fwd+bwd rollout (B={B}, 8 bodies, {n_steps} steps): "
         f"{sec * 1e3:.1f} ms")
     return sec

@@ -915,11 +915,17 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     # backend='fused' forces it (interpret mode off-TPU, for tests);
     # 'auto'/'pallas' use it automatically on TPU.
     fuse = False
+    fuse_rot = False
     if (cone and q_diag is not None and gamma_rows == F.C
             and refine == 0 and max_iter > 0):
         from lcp_physics_tpu.ops.ipm import fused_supported
 
-        if fused_supported(m - F.C, q, F.C, F.fd):
+        # Prefer the friction-pair ROTATED kernel (K = 2C + q) when the
+        # caller guarantees the ± pair structure; fall back to the plain
+        # kernel when only the unrotated system fits MAX_FUSED_K.
+        fuse_rot = bool(fric_pair) and fused_supported(
+            m - F.C, q, F.C, F.fd, fric_pair=True)
+        if fuse_rot or fused_supported(m - F.C, q, F.C, F.fd):
             if backend == "fused":
                 fuse = True
             elif backend in ("auto", "pallas"):
@@ -950,7 +956,7 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         z, s, lam, nu, mu_c, resid, iters = fused_ipm(
             q_diag, p, G, h, A, b, F.mu, F.valid, rm, z, s, lam, nu,
             C=F.C, fd=F.fd, max_iter=max_iter, tol=tol, consts=consts,
-            not_improved_lim=not_improved_lim)
+            not_improved_lim=not_improved_lim, fric_pair=fuse_rot)
         return maybe_squeeze(PdipmSolution(
             z, s, lam, nu, mu_c, resid, iters))
 

@@ -40,19 +40,38 @@ from lcp_physics_tpu.ops.linalg import _interpret, _ru, _safe_inv
 MAX_FUSED_K = 48
 
 
-def fused_supported(mg, q, C, fd):
-    return 0 < C and mg == C * (1 + fd) and (mg + q) <= MAX_FUSED_K
+def fused_supported(mg, q, C, fd, fric_pair=False):
+    """Whether the fused kernel can take this engine-layout system.
+
+    ``fric_pair=True`` (the engine's guarantee that the two friction
+    rows per contact are exact negatives, see lcp/pdipm.py
+    ``_rot_factor_factory``) enables the ROTATED kernel, whose Schur
+    system is 2C + q rows instead of (1 + fd)C + q — larger scenes fit
+    under MAX_FUSED_K and the K^2 tile work shrinks ~2.25x.
+    """
+    if not (0 < C and mg == C * (1 + fd)):
+        return False
+    K = (2 * C + q) if (fric_pair and fd == 2) else (mg + q)
+    return K <= MAX_FUSED_K
+
+
+# The kernel is latency-bound (sequential tiny VPU ops): the BIGGEST
+# legal tile is the first-order win (fewer grid cells).  The 16 MiB
+# scoped-vmem default is a compiler limit, not physical VMEM —
+# _IPM_VMEM_LIMIT legalizes bigger tiles (same trick as linalg's GJ
+# kernels).  Measured: actual scoped usage runs ~1.6x the per_lane
+# model below (staging + live assembly temporaries), so the budget
+# keeps ~2x headroom under the limit.
+_IPM_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _tile_lanes(n, m, q, K, itemsize=4):
     """Lanes per grid cell: P + S + Ghat tiles, ~2 live K^2 temporaries
     during assembly, the best-iterate scratch and vectors."""
-    # measured on v5e: actual scoped VMEM is ~29 KB/lane at K=24 (several
-    # live K^2 temporaries during assembly + staging); stay conservative
     per_lane = itemsize * (8 * K * K + K * n + 8 * (n + m + q) + 16)
-    budget = 10 * 1024 * 1024
+    budget = _IPM_VMEM_LIMIT // 2
     L = max(1, budget // (per_lane * 128)) * 128
-    return int(min(L, 1024))
+    return int(min(L, 2048))
 
 
 def _structure_masks(C, fd, q):
@@ -71,14 +90,33 @@ def _structure_masks(C, fd, q):
 
 
 def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
-                      P_ref, Ghat_ref, Mn_ref, Mf_ref, qinv_ref, p_ref,
-                      h_ref, b_ref, mu_ref, valid_ref, rmask_ref,
-                      z0_ref, s0_ref, lam0_ref, nu0_ref,
-                      z_ref, s_ref, lam_ref, nu_ref, stats_ref,
-                      S_ref, best_ref, state_ref, flag_ref):
+                      rot, *refs):
     n, m, q, C = dims
     mg = m - C
-    K = mg + q
+    # rot: friction-pair ROTATED Schur system (lcp/pdipm.py
+    # _rot_factor_factory math transcribed to the lane layout).  The two
+    # friction rows per contact are exact negatives, so the rotated
+    # (u, v) = ((f1±f2)/√2) basis gives a factored system of K = 2C + q
+    # rows (vs (1+fd)C + q): one third fewer sequential pivot steps and
+    # a 2.25x smaller (K, K, L) tile per elimination op at fd = 2.
+    # Ghat_ref then holds Ghat2 = [G_c; √2·G_f1; A] and Mn/Mf are absent
+    # (the rotated corrections are a diagonal + one (v,c) band, built
+    # from iota masks inline).
+    if rot:
+        (P_ref, Ghat_ref, qinv_ref, p_ref,
+         h_ref, b_ref, mu_ref, valid_ref, rmask_ref,
+         z0_ref, s0_ref, lam0_ref, nu0_ref,
+         z_ref, s_ref, lam_ref, nu_ref, stats_ref,
+         S_ref, best_ref, state_ref, flag_ref) = refs
+        Mn_ref = Mf_ref = None
+    else:
+        (P_ref, Ghat_ref, Mn_ref, Mf_ref, qinv_ref, p_ref,
+         h_ref, b_ref, mu_ref, valid_ref, rmask_ref,
+         z0_ref, s0_ref, lam0_ref, nu0_ref,
+         z_ref, s_ref, lam_ref, nu_ref, stats_ref,
+         S_ref, best_ref, state_ref, flag_ref) = refs
+    K = (2 * C + q) if rot else (mg + q)
+    sq2 = float(np.sqrt(2.0))
     dt = P_ref.dtype
     tiny, reg = consts["tiny"], consts["reg"]
     dinv_min, dinv_max = consts["dinv_min"], consts["dinv_max"]
@@ -120,6 +158,22 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
              -mu_ref[...] * lam_n + v * bsum], axis=0)
 
     def residuals(z, s, lam, nu):
+        if rot:
+            # Residuals stay in the ORIGINAL row layout; only the matvecs
+            # ride Ghat2.  G^T lam = Ghat2^T [lam_c; (lam_f1-lam_f2)/√2;
+            # nu] and G_f2 z = -G_f1 z (the ± pair guarantee).
+            lam_v = (lam[C:2 * C] - lam[2 * C:3 * C]) / sq2
+            lam_k = jnp.concatenate(
+                [lam[:C], lam_v] + ([nu[:q]] if q else []), axis=0)
+            rx = qd * z + p_ref[...] + matvec_T(Ghat_ref[...], lam_k)
+            y = matvec(Ghat_ref[...], z)  # [G_c z; √2·G_f1 z; A z]
+            Gf1 = y[C:2 * C] / sq2
+            Gz_kept = jnp.concatenate([y[:C], Gf1, -Gf1], axis=0)
+            Flam = cone_matvec(lam)
+            rz = jnp.concatenate([Gz_kept + Flam[:mg], Flam[mg:]],
+                                 axis=0) + s - h_ref[...]
+            ry = y[2 * C:] - b_ref[:q] if q else None
+            return rx, rz, ry
         lam_k = (jnp.concatenate([lam[:mg], nu[:q]], axis=0) if q
                  else lam[:mg])
         rx = qd * z + p_ref[...] + matvec_T(Ghat_ref[...], lam_k)
@@ -203,20 +257,46 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
             lam_safe = jnp.maximum(lam, tiny)
             d_inv = jnp.clip(s / lam_safe, dinv_min, dinv_max)
             Dginv = 1.0 / (d_inv[mg:] + reg)
-            diag_k = (jnp.concatenate([d_inv[:mg] + reg,
-                                       jnp.full((q, L), reg, dt)], axis=0)
-                      if q else d_inv[:mg] + reg)
             cn = valid_ref[...] * mu_ref[...] * Dginv         # (C, L)
             cf = -valid_ref[...] * Dginv
             pad = [jnp.zeros((q, L), dt)] if q else []
-            cn_row = jnp.concatenate([jnp.zeros((C, L), dt), tile_fd(cn)]
-                                     + pad, axis=0)           # (K, L)
-            cf_row = jnp.concatenate([jnp.zeros((C, L), dt), tile_fd(cf)]
-                                     + pad, axis=0)
-            S_ref[...] = (-P_ref[...]
-                          - jnp.where(i_K == j_K, diag_k[:, None, :], 0.0)
-                          + Mn_ref[...][:, :, None] * cn_row[:, None, :]
-                          + Mf_ref[...][:, :, None] * cf_row[:, None, :])
+            if rot:
+                # rotated scalars (_rot_factor_factory rot_scalars): the
+                # u rows are eliminated in closed form, leaving only a
+                # diagonal correction and one (v-row, c-col) band.
+                a1 = -(d_inv[C:2 * C] + reg) + cf
+                a2 = -(d_inv[2 * C:3 * C] + reg) + cf
+                alpha_r = 0.5 * (a1 + a2)
+                delta = 0.5 * (a1 - a2)
+                g_u = alpha_r + cf                   # < 0, nonsingular
+                dmain = jnp.concatenate(
+                    [d_inv[:C] + reg,
+                     -(alpha_r - cf - delta * delta / g_u)]
+                    + ([jnp.full((q, L), reg, dt)] if q else []), axis=0)
+                bn_wide = jnp.concatenate(
+                    [-sq2 * cn * delta / g_u,
+                     jnp.zeros((K - C, L), dt)], axis=0)      # by COLUMN
+                band_vc = (i_K - C == j_K) & (j_K < C)
+                S_ref[...] = (-P_ref[...]
+                              - jnp.where(i_K == j_K,
+                                          dmain[:, None, :], 0.0)
+                              + jnp.where(band_vc,
+                                          bn_wide[None, :, :], 0.0))
+            else:
+                delta = g_u = None
+                diag_k = (jnp.concatenate(
+                    [d_inv[:mg] + reg, jnp.full((q, L), reg, dt)], axis=0)
+                    if q else d_inv[:mg] + reg)
+                cn_row = jnp.concatenate(
+                    [jnp.zeros((C, L), dt), tile_fd(cn)] + pad,
+                    axis=0)                                   # (K, L)
+                cf_row = jnp.concatenate(
+                    [jnp.zeros((C, L), dt), tile_fd(cf)] + pad, axis=0)
+                S_ref[...] = (
+                    -P_ref[...]
+                    - jnp.where(i_K == j_K, diag_k[:, None, :], 0.0)
+                    + Mn_ref[...][:, :, None] * cn_row[:, None, :]
+                    + Mf_ref[...][:, :, None] * cf_row[:, None, :])
 
             def lu_step(k, _c):
                 diag = S_ref[pl.ds(k, 1), pl.ds(k, 1), :]
@@ -233,10 +313,36 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
 
             def kkt_solve(r1, r2m, ry_):
                 tg = r2m[mg:m]
+                tD = Dginv * tg
+                if rot:
+                    # rotated forward solve (_rot_factor_factory solve,
+                    # trans=0): rotate friction rhs to (u, v), eliminate
+                    # u in closed form, solve the K = 2C + q system,
+                    # reconstruct (f1, f2) and the gamma rows.
+                    ru = (r2m[C:2 * C] + r2m[2 * C:3 * C]) / sq2
+                    rv = (r2m[C:2 * C] - r2m[2 * C:3 * C]) / sq2
+                    y = matvec(Ghat_ref[...], qinv_ref[...] * r1)
+                    t_c = r2m[:C] - y[:C]
+                    t_v = rv - y[C:2 * C]
+                    t_u = ru - sq2 * valid_ref[...] * tD
+                    rhs2 = jnp.concatenate(
+                        [t_c, t_v - (delta / g_u) * t_u]
+                        + ([ry_ - y[2 * C:]] if q else []), axis=0)
+                    wk = lu_solve_lane(rhs2)
+                    w_c, w_v = wk[:C], wk[C:2 * C]
+                    w_u = (t_u - sq2 * cn * w_c - delta * w_v) / g_u
+                    wg = -Dginv * (tg - (-mu_ref[...] * w_c
+                                         + sq2 * valid_ref[...] * w_u))
+                    dz = qinv_ref[...] * (
+                        r1 - matvec_T(Ghat_ref[...], wk))
+                    dlam = jnp.concatenate(
+                        [w_c, (w_u + w_v) / sq2, (w_u - w_v) / sq2, wg],
+                        axis=0)
+                    dnu = wk[2 * C:] if q else zero_q
+                    return dz, dlam, dnu
                 rk = (jnp.concatenate([r2m[:mg], ry_], axis=0) if q
                       else r2m[:mg])
                 tk = rk - matvec(Ghat_ref[...], qinv_ref[...] * r1)
-                tD = Dginv * tg
                 skg = jnp.concatenate(
                     [jnp.zeros((C, L), dt),
                      tile_fd(-valid_ref[...] * tD)] + pad, axis=0)
@@ -328,23 +434,32 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
 
 def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
               z0, s0, lam0, nu0, *, C, fd, max_iter, tol, consts,
-              not_improved_lim=0):
+              not_improved_lim=0, fric_pair=False):
     """Run the fused IPM loop.  Inputs in the solver's (B, ...) layout;
-    the gamma rows of G must be zero (engine layout).  Returns
+    the gamma rows of G must be zero (engine layout).  ``fric_pair``
+    additionally asserts the two friction rows per contact are exact
+    negatives (engine assembly guarantee) and runs the ROTATED kernel
+    (K = 2C + q Schur rows — see _fused_ipm_kernel).  Returns
     (z, s, lam, nu, mu, resid, iters)."""
     B, n = p.shape
     m = h.shape[-1]
     q = A.shape[-2]
     mg = m - C
-    K = mg + q
+    rot = bool(fric_pair) and fd == 2
+    K = (2 * C + q) if rot else (mg + q)
     dt = p.dtype
 
     qinv = 1.0 / q_diag
-    Ghat = jnp.concatenate([G[:, :mg, :], A], axis=-2)    # (B, K, n)
+    if rot:
+        sq2 = jnp.sqrt(jnp.asarray(2.0, dt))
+        Ghat = jnp.concatenate(
+            [G[:, :C, :], sq2 * G[:, C:2 * C, :], A], axis=-2)
+    else:
+        Ghat = jnp.concatenate([G[:, :mg, :], A], axis=-2)  # (B, K, n)
     from lcp_physics_tpu.lcp.pdipm import _precision_ctx
     with _precision_ctx():
         P = jnp.einsum("bkn,bn,bjn->bkj", Ghat, qinv, Ghat)
-    Mn, Mf = _structure_masks(C, fd, q)
+    Mn, Mf = (None, None) if rot else _structure_masks(C, fd, q)
 
     L = _tile_lanes(n, m, q, K, jnp.dtype(dt).itemsize)
     B_pad = _ru(max(B, 1), L)
@@ -360,9 +475,9 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
         return jnp.transpose(xp, (1, 2, 0))
 
     qp1 = max(q, 1)
+    mask_args = [] if rot else [jnp.asarray(Mn, dt), jnp.asarray(Mf, dt)]
     args = [
-        lanes3(P, K, K), lanes3(Ghat, K, n),
-        jnp.asarray(Mn, dt), jnp.asarray(Mf, dt),
+        lanes3(P, K, K), lanes3(Ghat, K, n), *mask_args,
         lanes(qinv, n), lanes(p, n), lanes(h, m),
         lanes(b if q else jnp.ones((B, 1), dt), qp1),
         lanes(mu_v, C), lanes(valid, C), lanes(row_mask, m),
@@ -378,11 +493,12 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
                                      memory_space=pltpu.VMEM)
 
     dims = (n, m, q, C)
+    mask_specs = [] if rot else [full(K, K), full(K, K)]
     out = pl.pallas_call(
         partial(_fused_ipm_kernel, dims, consts, max_iter, tol, fd,
-                not_improved_lim),
+                not_improved_lim, rot),
         grid=(B_pad // L,),
-        in_specs=[mat(K, K), mat(K, n), full(K, K), full(K, K),
+        in_specs=[mat(K, K), mat(K, n), *mask_specs,
                   vec(n), vec(n), vec(m), vec(qp1),
                   vec(C), vec(C), vec(m),
                   vec(n), vec(m), vec(m), vec(qp1)],
@@ -398,6 +514,8 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
                         pltpu.VMEM((n + 2 * m + max(q, 1), L), dt),
                         pltpu.VMEM((4, L), dt),
                         pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_IPM_VMEM_LIMIT),
         interpret=_interpret(),
     )(*args)
     z_t, s_t, lam_t, nu_t, stats_t = out

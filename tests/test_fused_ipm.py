@@ -12,15 +12,23 @@ from lcp_physics_tpu.lcp import ConeF, lcp_solve_full
 from lcp_physics_tpu.lcp.pdipm import pdipm_solve
 
 
-def engine_instance(rng, B, n, C, fd=2, q=0, valid_frac=0.7):
+def engine_instance(rng, B, n, C, fd=2, q=0, valid_frac=0.7, pair=False):
+    """pair=True builds the engine's ± friction-row structure
+    (G_f2 = -G_f1 exactly), the precondition of the fric_pair rotation."""
     m = C * (2 + fd)
     qd = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
     p = jnp.asarray(rng.standard_normal((B, n)))
     valid = jnp.asarray((rng.random((B, C)) < valid_frac).astype(float))
     mu = jnp.asarray(rng.uniform(0.3, 1.0, (B, C))) * valid
     Jc = rng.standard_normal((B, C, n)) * np.asarray(valid)[..., None]
-    Jf = rng.standard_normal((B, fd * C, n)) \
-        * np.tile(np.asarray(valid), fd)[..., None]
+    if pair:
+        assert fd == 2
+        Jf1 = rng.standard_normal((B, C, n)) \
+            * np.asarray(valid)[..., None]
+        Jf = np.concatenate([Jf1, -Jf1], axis=1)
+    else:
+        Jf = rng.standard_normal((B, fd * C, n)) \
+            * np.tile(np.asarray(valid), fd)[..., None]
     G = jnp.asarray(np.concatenate([-Jc, -Jf, np.zeros((B, C, n))], 1))
     jcv = jnp.einsum("bcn,bn->bc", jnp.asarray(Jc), p)
     h = jnp.concatenate([jnp.where(valid > 0, 0.3 * jcv, 1.0),
@@ -56,6 +64,49 @@ def test_fused_matches_unfused(q):
     # padded rows pinned exactly
     np.testing.assert_allclose(
         np.asarray(jnp.where(rmask > 0, 0.0, fus.s - h)), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("q", [0, 3])
+def test_fused_rot_matches_unfused(q):
+    """The friction-pair ROTATED fused kernel (K = 2C + q) reproduces the
+    plain xla solve on ±-pair instances."""
+    rng = np.random.default_rng(31)
+    B, n, C = 6, 9, 4
+    qd, p, G, h, A, b, F, rmask = engine_instance(rng, B, n, C, q=q,
+                                                  pair=True)
+    kw = dict(max_iter=25, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask)
+    ref = pdipm_solve(qd, p, G, h, A, b, F, backend="xla", **kw)
+    fus = pdipm_solve(qd, p, G, h, A, b, F, backend="fused",
+                      fric_pair=True, **kw)
+    np.testing.assert_allclose(np.asarray(fus.z), np.asarray(ref.z),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fus.lam), np.asarray(ref.lam),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.max(fus.resid)) < 1e-8
+    assert float(jnp.max(fus.mu)) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(rmask > 0, 0.0, fus.s - h)), 0.0, atol=1e-12)
+
+
+def test_fused_rot_larger_than_plain_cap():
+    """A scene whose UNROTATED system exceeds MAX_FUSED_K but whose
+    rotated system fits still dispatches to the fused kernel."""
+    from lcp_physics_tpu.ops.ipm import MAX_FUSED_K, fused_supported
+
+    C = MAX_FUSED_K // 3 + 2           # 3C > MAX_FUSED_K, 2C <= MAX
+    assert not fused_supported(3 * C, 0, C, 2)
+    assert fused_supported(3 * C, 0, C, 2, fric_pair=True)
+    rng = np.random.default_rng(37)
+    B, n = 3, 12
+    qd, p, G, h, A, b, F, rmask = engine_instance(rng, B, n, C, pair=True)
+    kw = dict(max_iter=25, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask)
+    ref = pdipm_solve(qd, p, G, h, A, b, F, backend="xla", **kw)
+    fus = pdipm_solve(qd, p, G, h, A, b, F, backend="fused",
+                      fric_pair=True, **kw)
+    np.testing.assert_allclose(np.asarray(fus.z), np.asarray(ref.z),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_fused_through_lcp_solve_full():
