@@ -4,10 +4,11 @@ This is SURVEY.md §7 step 7 / the BASELINE north star's "batched PDIPM
 ... becomes a fused Pallas kernel": for the ENGINE problem layout
 (diagonal Q, ConeF friction coupling, gamma-eliminated Schur system of
 K = mg + q rows small enough for the lane layout), every Mehrotra
-iteration — residuals, Schur assembly, pivotless factorization,
-predictor + corrector solves, step-length ratio tests and masked
-updates — runs inside ONE Pallas kernel over (feature, lane) tiles,
-with the world batch on the vector lanes.
+iteration — residuals, Schur assembly, pivotless explicit-inverse
+factorization (Gauss-Jordan; each KKT solve is then one masked matvec
+plus a refinement step), predictor + corrector solves, step-length
+ratio tests and masked updates — runs inside ONE Pallas kernel over
+(feature, lane) tiles, with the world batch on the vector lanes.
 
 Nothing in the iteration is cross-lane (worlds are independent; all
 reductions run over feature dims), so the kernel is a direct
@@ -55,11 +56,9 @@ def fused_supported(mg, q, C, fd, fric_pair=False):
     return K <= MAX_FUSED_K
 
 
-# The kernel is latency-bound (sequential tiny VPU ops): the BIGGEST
-# legal tile is the first-order win (fewer grid cells).  The 16 MiB
-# scoped-vmem default is a compiler limit, not physical VMEM —
-# _IPM_VMEM_LIMIT legalizes bigger tiles (same trick as linalg's GJ
-# kernels).  Measured: actual scoped usage runs ~1.6x the per_lane
+# The 16 MiB scoped-vmem default is a compiler limit, not physical
+# VMEM — _IPM_VMEM_LIMIT legalizes bigger tiles (same trick as linalg's
+# GJ kernels).  Measured: actual scoped usage runs ~1.6x the per_lane
 # model below (staging + live assembly temporaries), so the budget
 # keeps ~2x headroom under the limit.
 _IPM_VMEM_LIMIT = 64 * 1024 * 1024
@@ -67,11 +66,19 @@ _IPM_VMEM_LIMIT = 64 * 1024 * 1024
 
 def _tile_lanes(n, m, q, K, itemsize=4):
     """Lanes per grid cell: P + S + Ghat tiles, ~2 live K^2 temporaries
-    during assembly, the best-iterate scratch and vectors."""
+    during assembly, the best-iterate scratch and vectors.
+
+    Tile-size regime (v5e, K=16 headline sweep): with the explicit-
+    inverse factor the kernel is no longer purely latency-bound — the
+    (K, K, L) rank-1 GJ updates scale with L while grid cells pipeline
+    their DMA, so SMALL tiles win (cap 128: 3.20M, 256: 3.14M, 1024:
+    3.04M, 2048: 2.79M solves/s).  Cap 256; the VMEM budget term only
+    binds for large K, where it shrinks L below the cap anyway.
+    """
     per_lane = itemsize * (8 * K * K + K * n + 8 * (n + m + q) + 16)
     budget = _IPM_VMEM_LIMIT // 2
     L = max(1, budget // (per_lane * 128)) * 128
-    return int(min(L, 2048))
+    return int(min(L, 256))
 
 
 def _structure_masks(C, fd, q):
@@ -124,7 +131,6 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
 
     i_K = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
     j_K = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-    i_K2 = i_K[:, 0, :]                  # (K, L) row ids
     qd = 1.0 / qinv_ref[...]
     zero_q = jnp.zeros((max(q, 1), L), dt)
 
@@ -196,27 +202,17 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
         return rx, rz, ry, mu_c, resid
 
     def lu_solve_lane(rhs):
-        """Solve S x = rhs (K, L) from the in-place factor in S_ref."""
-        def fwd(k, x):
-            coefs = S_ref[pl.ds(k, 1), :, :][0]              # (K, L)
-            sval = jnp.sum(jnp.where(i_K2 < k, coefs * x, 0.0),
-                           axis=0, keepdims=True)
-            return jnp.where(i_K2 == k, x - sval, x)
+        """Apply the in-place INVERSE stored in S_ref: x = S^-1 rhs.
 
-        x = jax.lax.fori_loop(0, K, fwd, rhs)
-
-        def bwd(k2, x):
-            k = K - 1 - k2
-            coefs = S_ref[pl.ds(k, 1), :, :][0]
-            diag = jnp.sum(jnp.where(i_K2 == k, coefs, 0.0),
-                           axis=0, keepdims=True)
-            sval = jnp.sum(jnp.where(i_K2 > k, coefs * x, 0.0),
-                           axis=0, keepdims=True)
-            xk = (jnp.sum(jnp.where(i_K2 == k, x, 0.0), axis=0,
-                          keepdims=True) - sval) * _safe_inv(diag)
-            return jnp.where(i_K2 == k, xk, x)
-
-        return jax.lax.fori_loop(0, K, bwd, x)
+        The kernel is latency-bound, so the factor loop below builds the
+        explicit Gauss-Jordan inverse instead of an LU factor — each of
+        the two KKT solves per IPM iteration is then ONE (K, K, L)
+        masked matvec instead of a 2K-step sequential substitution
+        chain (per iteration: ~K sequential ops total, down from ~5K).
+        Pivotless is stable here for the same reason as the LU it
+        replaces: the Schur system is regularized quasi-definite.
+        """
+        return jnp.sum(S_ref[...] * rhs[None, :, :], axis=1)
 
     def body(it, _):
         # state lives in refs; pl.when skips everything once every lane in
@@ -282,6 +278,15 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                                           dmain[:, None, :], 0.0)
                               + jnp.where(band_vc,
                                           bn_wide[None, :, :], 0.0))
+
+                def apply_S(x):
+                    # S @ x from the structured form (S_ref holds the
+                    # INVERSE after the GJ loop; the refinement residual
+                    # needs the original operator)
+                    extra = jnp.concatenate(
+                        [jnp.zeros((C, L), dt), bn_wide[:C] * x[:C]]
+                        + ([jnp.zeros((q, L), dt)] if q else []), axis=0)
+                    return -matvec(P_ref[...], x) - dmain * x + extra
             else:
                 delta = g_u = None
                 diag_k = (jnp.concatenate(
@@ -298,18 +303,42 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                     + Mn_ref[...][:, :, None] * cn_row[:, None, :]
                     + Mf_ref[...][:, :, None] * cf_row[:, None, :])
 
-            def lu_step(k, _c):
-                diag = S_ref[pl.ds(k, 1), pl.ds(k, 1), :]
-                col = S_ref[:, pl.ds(k, 1), :]
-                row = S_ref[pl.ds(k, 1), :, :]
-                below = i_K > k
-                lcol = jnp.where(below, col * _safe_inv(diag), 0.0)
-                rowm = jnp.where(j_K > k, row, 0.0)
-                S_ref[...] = jnp.where(below & (j_K == k), lcol,
-                                       S_ref[...] - lcol * rowm)
+                def apply_S(x):
+                    # S @ x: the Mn/Mf corrections are per-contact bands
+                    # (row (1+d)C+i picks x[i] / the friction sum of
+                    # contact i), so no (K, K) product is needed.
+                    xfsum = sum(x[C * (1 + d):C * (2 + d)]
+                                for d in range(fd))
+                    extra = jnp.concatenate(
+                        [jnp.zeros((C, L), dt),
+                         tile_fd(cn * x[:C] + cf * xfsum)] + pad, axis=0)
+                    return -matvec(P_ref[...], x) - diag_k * x + extra
+
+            def gj_step(k, _c):
+                # classic in-place Gauss-Jordan inverse, no pivoting:
+                # after K steps S_ref holds S^-1 (see lu_solve_lane).
+                diag = S_ref[pl.ds(k, 1), pl.ds(k, 1), :]     # (1, 1, L)
+                dinv = _safe_inv(diag)
+                row = S_ref[pl.ds(k, 1), :, :]                # (1, K, L)
+                col = S_ref[:, pl.ds(k, 1), :]                # (K, 1, L)
+                newrow = row * dinv
+                is_kr = i_K == k
+                is_kc = j_K == k
+                Snew = S_ref[...] - col * newrow              # rank-1
+                Snew = jnp.where(is_kc, -col * dinv, Snew)
+                Snew = jnp.where(is_kr, newrow, Snew)
+                S_ref[...] = jnp.where(is_kr & is_kc, dinv, Snew)
                 return 0
 
-            jax.lax.fori_loop(0, K, lu_step, 0)
+            jax.lax.fori_loop(0, K, gj_step, 0)
+
+            def solve_S(rhs):
+                # explicit-inverse apply + ONE refinement step: recovers
+                # substitution-class accuracy (the raw inverse's forward
+                # error ~kappa*eps loses the last digits as
+                # complementarity tightens) at O(1) sequential cost.
+                x = lu_solve_lane(rhs)
+                return x + lu_solve_lane(rhs - apply_S(x))
 
             def kkt_solve(r1, r2m, ry_):
                 tg = r2m[mg:m]
@@ -328,7 +357,7 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                     rhs2 = jnp.concatenate(
                         [t_c, t_v - (delta / g_u) * t_u]
                         + ([ry_ - y[2 * C:]] if q else []), axis=0)
-                    wk = lu_solve_lane(rhs2)
+                    wk = solve_S(rhs2)
                     w_c, w_v = wk[:C], wk[C:2 * C]
                     w_u = (t_u - sq2 * cn * w_c - delta * w_v) / g_u
                     wg = -Dginv * (tg - (-mu_ref[...] * w_c
@@ -346,7 +375,7 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                 skg = jnp.concatenate(
                     [jnp.zeros((C, L), dt),
                      tile_fd(-valid_ref[...] * tD)] + pad, axis=0)
-                wk = lu_solve_lane(tk + skg)
+                wk = solve_S(tk + skg)
                 wf = sum(wk[C * (1 + d):C * (2 + d)] for d in range(fd))
                 wg = -Dginv * (tg - (-mu_ref[...] * wk[:C]
                                      + valid_ref[...] * wf))
