@@ -196,6 +196,61 @@ def make_assemble(static: SceneStatic, config: SimConfig):
     return assemble, assemble_post_stab
 
 
+def _equality_solve(Qd, pvec, A, b):
+    """Closed-form KKT solution for a tile with NO active inequality rows.
+
+    ``min 1/2 v' diag(Qd) v + p' v  s.t.  A v = b`` — the exact fixed
+    point the IPM converges to when every contact row is padding (zero G
+    rows, lam pinned ~ 0), so a contact-free step can skip the whole
+    interior-point machinery:
+
+        v  = Qd^-1 (-p - A^T nu)
+        (A Qd^-1 A^T + reg I) nu = A Qd^-1 (-p) - b
+
+    with the solver's own equality-block regularization ``reg``
+    (lcp/pdipm.py ``_dtype_consts``).  Broadcasts over leading batch dims.
+    """
+    from lcp_physics_tpu.lcp.pdipm import _dtype_consts
+
+    vin = -pvec / Qd
+    q = A.shape[-2]
+    if q == 0:
+        return vin
+    hp = jax.lax.Precision.HIGHEST
+    reg = _dtype_consts(Qd.dtype)["reg"]
+    AQ = A / Qd[..., None, :]                      # A Qd^-1
+    S = jnp.einsum("...qn,...kn->...qk", AQ, A, precision=hp)
+    S = S + reg * jnp.eye(q, dtype=Qd.dtype)
+    rhs = jnp.einsum("...qn,...n->...q", A, vin, precision=hp) - b
+    nu = jnp.linalg.solve(S, rhs[..., None])[..., 0]
+    return vin - jnp.einsum("...qn,...q->...n", A, nu,
+                            precision=hp) / Qd
+
+
+def _solve_or_free(blocks, dyn_kw, enabled):
+    """Dispatch the dynamics solve: full LCP when any contact row is
+    active anywhere in the tile, closed-form equality solve otherwise.
+
+    The reference branches between a contact LCP and a plain solve in
+    Python (``PdipmEngine.solve_dynamics``); under jit the branch is a
+    ``lax.cond`` on a tile-level reduction (NOT vmapped, so XLA executes
+    only the taken side).  Contact-sparse workloads — loose scenes,
+    billiards-style rollouts where most steps touch nothing — skip the
+    init factorization and the whole IPM loop in both the forward and
+    the backward pass (the free branch is plain differentiable ops; an
+    inactive constraint has zero local sensitivity, so gradients agree
+    with the implicit-KKT path).
+    """
+    rm = blocks.get("row_mask")
+    if not enabled or rm is None:
+        return lcp_solve(**blocks, **dyn_kw)
+    return jax.lax.cond(
+        jnp.any(rm > 0),
+        lambda: lcp_solve(**blocks, **dyn_kw),
+        lambda: _equality_solve(blocks["Q"], blocks["p"],
+                                blocks["A"], blocks["b"]))
+
+
 def _max_depth(contacts, dtype):
     return jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0),
                    axis=-1, initial=0.0).astype(dtype)
@@ -239,14 +294,17 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
     pairs = static.pair_lists()
     counts = static.counts_np()
 
+    fast_free = config.contact_free_fast_path
+
     def step(params: SceneParams, state: WorldState, dt):
         dt = jnp.asarray(dt, state.p.dtype)
         blocks, contacts = assemble(params, state, dt)
-        v_new = lcp_solve(**blocks, **dyn_kw).reshape(N, 3)
+        v_new = _solve_or_free(blocks, dyn_kw, fast_free).reshape(N, 3)
         p_new = state.p + dt * v_new  # semi-implicit Euler
         if config.post_stabilization:
             ps = assemble_ps(params, p_new)
-            p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(N, 3)
+            p_new = p_new + _solve_or_free(
+                ps, solver_kw, fast_free).reshape(N, 3)
         new_state = WorldState(p=p_new, v=v_new, t=state.t + dt)
         post = (max_penetration(jax.lax.stop_gradient(p_new), params.verts,
                                 params.radius, counts, pairs)
@@ -287,15 +345,19 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                                                  pairs),
         in_axes=(0, p_ax, p_ax))
 
+    fast_free = config.contact_free_fast_path
+
     def step_tile_plain(params, states, dt):
         B = states.p.shape[0]
         dt_w = jnp.broadcast_to(jnp.asarray(dt, states.p.dtype), (B,))
         blocks, contacts = assemble_b(params, states, dt_w)
-        v_new = lcp_solve(**blocks, **dyn_kw).reshape(B, N, 3)
+        v_new = _solve_or_free(blocks, dyn_kw,
+                               fast_free).reshape(B, N, 3)
         p_new = states.p + dt_w[:, None, None] * v_new
         if config.post_stabilization:
             ps = assemble_ps_b(params, p_new)
-            p_new = p_new + lcp_solve(**ps, **solver_kw).reshape(B, N, 3)
+            p_new = p_new + _solve_or_free(
+                ps, solver_kw, fast_free).reshape(B, N, 3)
         new_states = WorldState(p=p_new, v=v_new, t=states.t + dt_w)
         post = (pen_b(jax.lax.stop_gradient(p_new), params.verts,
                       params.radius) if C

@@ -150,6 +150,15 @@ class SimConfig:
     # when nothing penetrates).  Worlds that backtrack advance t by their
     # accepted smaller dt.  Off by default (throughput).
     penetration_backtrack: bool = False
+    # When a whole step tile has ZERO active contact rows, skip the IPM
+    # entirely: a lax.cond dispatches to the closed-form equality-KKT
+    # solution (core/step.py::_equality_solve — exact, and what the IPM
+    # would converge to on an all-padding system).  Contact-sparse
+    # workloads (loose scenes, billiards-style rollouts between impacts)
+    # skip the init factorization + solver loop in forward AND backward.
+    # The tile granularity is ``batch_tile``: one touching world sends
+    # its whole tile down the solver branch.
+    contact_free_fast_path: bool = True
 
     def __post_init__(self):
         # Fail fast at construction, not deep inside the first jitted step

@@ -502,3 +502,73 @@ def test_penetration_backtrack_noop_and_grads():
 
     g = jax.grad(loss)(1.0)
     assert np.isfinite(float(g))
+
+
+def test_contact_free_fast_path_matches_solver():
+    """contact_free_fast_path dispatches a tile with zero active contact
+    rows to the closed-form equality solve (core/step.py::_equality_solve)
+    via lax.cond.  Trajectories and gradients must match the always-solve
+    path through a rollout that starts contact-free, collides mid-way
+    (cond flips to the LCP branch), and separates again."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = circle_world(2, gravity=(0.0, 0.0), restitution=0.5)
+    p0 = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 2.6, 0.0]])
+    v0 = jnp.asarray([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    B = 3
+    states = WorldState(p=jnp.stack([p0] * B), v=jnp.stack([v0] * B),
+                        t=jnp.zeros((B,)))
+
+    def run_traj(flag):
+        step = jax.jit(make_step_batched(
+            static, SimConfig(contact_free_fast_path=flag)))
+        s = states
+        for _ in range(20):
+            s, _ = step(params, s, 1.0 / 30.0)
+        return s
+
+    s_on, s_off = run_traj(True), run_traj(False)
+    # collision actually happened (restitution 0.5 bounce)
+    assert float(s_on.v[0, 0, 1]) < -0.45
+    np.testing.assert_allclose(np.asarray(s_on.p), np.asarray(s_off.p),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_on.v), np.asarray(s_off.v),
+                               atol=1e-12)
+
+    def grad_of(flag):
+        step = make_step_batched(
+            static, SimConfig(contact_free_fast_path=flag))
+
+        def loss(mass):
+            pr = params.__class__(**{**params.__dict__, "mass": mass})
+            fs, _ = rollout(step, pr, states, 1.0 / 30.0, 5)
+            return jnp.sum(fs.p ** 2)
+
+        return jax.jit(jax.grad(loss))(params.mass)
+
+    np.testing.assert_allclose(np.asarray(grad_of(True)),
+                               np.asarray(grad_of(False)), atol=1e-12)
+
+
+def test_contact_free_fast_path_with_joints():
+    """q > 0 exercises the ridge-regularized equality-KKT closed form: a
+    jointed, contact-free world must step identically (to solver tol)
+    with the fast path on and off, and the joint must stay satisfied."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(gravity=(0.0, G))
+    # dynamic body far above the ground: no contact rows active, but the
+    # ground's TotalConstraint keeps q = 3 equality rows in the system
+    p0 = np.array([[[0.0, 0.0, -30.0], [0.0, 0.0, 0.0]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.zeros((1, 2, 3)),
+                        t=jnp.zeros((1,)))
+    outs = {}
+    for flag in (True, False):
+        step = jax.jit(make_step_batched(
+            static, SimConfig(contact_free_fast_path=flag)))
+        outs[flag], _ = step(params, states, DT)
+    np.testing.assert_allclose(np.asarray(outs[True].v),
+                               np.asarray(outs[False].v), atol=1e-7)
+    # the held ground body does not move on the fast path
+    np.testing.assert_allclose(np.asarray(outs[True].v[0, 1]),
+                               np.zeros(3), atol=1e-9)
