@@ -283,7 +283,8 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
                      backend=config.lcp_backend, q_is_diag=True,
                      refine=config.solver_refine,
                      not_improved_lim=config.solver_stall_lim,
-                     factor_precision=config.solver_factor_precision)
+                     factor_precision=config.solver_factor_precision,
+                     gondzio=config.solver_gondzio)
     # trailing C inequality rows are the friction-cone slack block
     # (zero G rows, diagonal Schur block) -> analytic elimination; the
     # assembly's +-t tangent pairs additionally enable the friction-pair
@@ -330,7 +331,8 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                      backend=config.lcp_backend, q_is_diag=True,
                      refine=config.solver_refine,
                      not_improved_lim=config.solver_stall_lim,
-                     factor_precision=config.solver_factor_precision)
+                     factor_precision=config.solver_factor_precision,
+                     gondzio=config.solver_gondzio)
     # dt rides a per-world axis: the in-jit penetration backtrack halves
     # dt independently per world, and a scalar dt broadcasts to (B,)
     # (bit-identical to the old scalar path).

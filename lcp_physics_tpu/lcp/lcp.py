@@ -47,34 +47,35 @@ from lcp_physics_tpu.lcp.util import bger
 
 
 @partial(jax.custom_vjp,
-         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
                     diag_q, gamma_rows, refine, not_improved_lim,
-                    factor_precision, fric_pair):
+                    factor_precision, fric_pair, gondzio):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair)
+                      fric_pair=fric_pair, gondzio=gondzio)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
              gamma_rows, refine, not_improved_lim, factor_precision,
-             fric_pair):
+             fric_pair, gondzio):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair)
+                      fric_pair=fric_pair, gondzio=gondzio)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
-             not_improved_lim, factor_precision, fric_pair, residuals, g):
+             not_improved_lim, factor_precision, fric_pair, gondzio,
+             residuals, g):
     # (factor_precision governs the FORWARD factor only; the backward
     # one-shot solve always traces under 'highest'.)
     from lcp_physics_tpu.lcp.pdipm import _precision_ctx
@@ -206,7 +207,8 @@ def _normalize(Q, p, G, h, A, b, F, q_is_diag=None):
 def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
-              not_improved_lim=3, factor_precision=None, fric_pair=False):
+              not_improved_lim=3, factor_precision=None, fric_pair=False,
+              gondzio=0):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -227,7 +229,8 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
         row_mask = jnp.asarray(row_mask, h.dtype)
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
-                           not_improved_lim, factor_precision, fric_pair)
+                           not_improved_lim, factor_precision, fric_pair,
+                           gondzio)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
@@ -235,7 +238,7 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    gamma_rows=0, q_is_diag=None,
                    row_mask=None, refine=0,
                    not_improved_lim=3, factor_precision=None,
-                   fric_pair=False) -> PdipmSolution:
+                   fric_pair=False, gondzio=0) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -248,7 +251,7 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                        gamma_rows=gamma_rows, row_mask=row_mask,
                        refine=refine, not_improved_lim=not_improved_lim,
                        factor_precision=factor_precision,
-                       fric_pair=fric_pair)
+                       fric_pair=fric_pair, gondzio=gondzio)
 
 
 class LCPFunction:

@@ -787,7 +787,7 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
                 backend="auto", q_diag=None, verbose=False,
                 gamma_rows=0, q_is_diag=None, row_mask=None, refine=0,
                 not_improved_lim=3, factor_precision=None,
-                fric_pair=False):
+                fric_pair=False, gondzio=0):
     """Solve a batch of mixed-LCP instances (single instances are
     auto-promoted to a batch of one and squeezed back).
 
@@ -814,6 +814,13 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
     above ``tol``, and without a stall exit they burn every remaining
     iteration making no progress.
 
+    ``gondzio`` (0 = off, reference Mehrotra semantics): number of Gondzio
+    multiple-centrality-corrector rounds per iteration.  Each round reuses
+    the iteration's factorization for one extra cheap solve, trading
+    solves for iterations — worthwhile when the factorization dominates
+    (large contact systems) and the solve genuinely converges (the
+    accurate ``factor_precision='highest'`` profile).
+
     Returns a :class:`PdipmSolution`.
     """
     return _pdipm_solve(
@@ -821,13 +828,14 @@ def pdipm_solve(Q, p, G, h, A, b, F, *, max_iter=20, tol=1e-7,
         backend=backend, q_diag=q_diag, verbose=verbose,
         gamma_rows=gamma_rows, q_is_diag=q_is_diag, row_mask=row_mask,
         refine=refine, not_improved_lim=not_improved_lim,
-        factor_precision=factor_precision, fric_pair=fric_pair)
+        factor_precision=factor_precision, fric_pair=fric_pair,
+        gondzio=gondzio)
 
 
 def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                  verbose, gamma_rows, q_is_diag, row_mask, refine,
                  not_improved_lim, factor_precision=None,
-                 fric_pair=False):
+                 fric_pair=False, gondzio=0):
     # Q may arrive in DIAGONAL form (shape == p.shape): the physics mass
     # matrix.  It is then never expanded to (B, n, n) — the Schur path
     # only needs its shape/dtype and the residuals use an elementwise
@@ -916,8 +924,10 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     # 'auto'/'pallas' use it automatically on TPU.
     fuse = False
     fuse_rot = False
+    # gondzio correctors are a packed-loop feature; the fused kernel
+    # targets small systems where iterations are solve-bound anyway.
     if (cone and q_diag is not None and gamma_rows == F.C
-            and refine == 0 and max_iter > 0):
+            and refine == 0 and max_iter > 0 and gondzio == 0):
         from lcp_physics_tpu.ops.ipm import fused_supported
 
         # Prefer the friction-pair ROTATED kernel (K = 2C + q) when the
@@ -1096,7 +1106,42 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
 
         dX = jnp.concatenate([sol_c[..., :n], ds, dlam,
                               sol_c[..., n + m:]], axis=-1)
-        alpha = (0.99 * _max_step(sl, dX[..., sls], mask2))[..., None]
+        alpha_raw = _max_step(sl, dX[..., sls], mask2)
+
+        # Gondzio multiple centrality correctors (static unroll; knob
+        # default 0 = reference Mehrotra semantics).  Each round reuses
+        # the iteration's factorization for ONE extra solve that pushes
+        # the trial complementarity products toward the central-path box
+        # [beta_min*mu_t, beta_max*mu_t], and is accepted per instance
+        # only if it buys step length.  On the factor-dominated dense
+        # path (factor ~1.2 ms vs ~0.4 ms/solve at B=256/K=384) a
+        # corrector that saves even one iteration in three pays for
+        # itself.  Reference: Gondzio, "Multiple centrality corrections
+        # in a primal-dual method for linear programming" (1996).
+        if gondzio > 0:
+            mu_t = (sigma * mu)[..., None]
+            for _ in range(gondzio):
+                a_hat = jnp.minimum(alpha_raw + 0.08, 1.0)[..., None]
+                sl_t = sl + a_hat * dX[..., sls]
+                v_t = sl_t[..., :m] * sl_t[..., m:]
+                tgt = jnp.clip(v_t, 0.1 * mu_t, 10.0 * mu_t)
+                r4g = v_t - tgt
+                if maskb is not None:
+                    r4g = jnp.where(maskb, r4g, 0.0)
+                rhs_g = jnp.zeros_like(r).at[..., n:n + m].set(
+                    r4g / lam_safe)
+                sol_g = kkt_solve(rhs_g)
+                dlam_g = sol_g[..., n:n + m]
+                ds_g = -r4g / lam_safe - d_inv * dlam_g
+                dX_c = dX + jnp.concatenate(
+                    [sol_g[..., :n], ds_g, dlam_g, sol_g[..., n + m:]],
+                    axis=-1)
+                alpha_c = _max_step(sl, dX_c[..., sls], mask2)
+                ok = alpha_c >= jnp.minimum(alpha_raw + 0.008, 1.0)
+                dX = jnp.where(ok[..., None], dX_c, dX)
+                alpha_raw = jnp.where(ok, alpha_c, alpha_raw)
+
+        alpha = (0.99 * alpha_raw)[..., None]
 
         X_n = jnp.maximum(X + alpha * dX, floor_row)
         if maskb is not None:

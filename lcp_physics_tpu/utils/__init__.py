@@ -130,6 +130,15 @@ class SimConfig:
     # instance at small limits.  The API-parity surfaces (lcp_solve,
     # LCPFunction) keep the reference's notImprovedLim=3 default.
     solver_stall_lim: int = 1
+    # Gondzio multiple-centrality-corrector rounds per IPM iteration
+    # (0 = off, reference Mehrotra semantics).  Each round reuses the
+    # iteration's factorization for one extra cheap solve that recentering
+    # the trial point, trading solves for iterations.  Pays off when the
+    # factor dominates (large contact systems) and solves genuinely
+    # converge — pair with solver_factor_precision='highest' for the
+    # accurate profile; measured effect on the fast bf16 profile is
+    # neutral (solves stall at the precision floor regardless).
+    solver_gondzio: int = 0
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
     # what lets a single chip run the 4096 x 64-body stretch config.

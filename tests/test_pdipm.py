@@ -471,3 +471,52 @@ def test_fric_pair_rotation_lazy_blocked_path():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sp.lam), np.asarray(sx.lam),
                                atol=1e-4)
+
+
+def test_gondzio_correctors_same_solution_fewer_iters():
+    """Gondzio multiple centrality correctors (solver knob ``gondzio``)
+    must reach the same KKT point as plain Mehrotra — they only reshape
+    the path to it — and never increase the iteration count on a batch of
+    well-posed instances (each corrector is accepted per instance only if
+    it buys step length)."""
+    rng = np.random.default_rng(31)
+    B, n, m, q = 32, 12, 10, 3
+    qd = jnp.asarray(np.abs(rng.standard_normal((B, n))) + 0.5)
+    p = jnp.asarray(rng.standard_normal((B, n)))
+    G = jnp.asarray(rng.standard_normal((B, m, n)))
+    h = jnp.asarray(rng.standard_normal((B, m)) + 2.0)
+    A = jnp.asarray(rng.standard_normal((B, q, n)))
+    b = jnp.asarray(rng.standard_normal((B, q)))
+    kw = dict(max_iter=40, tol=1e-10, q_is_diag=True, not_improved_lim=0)
+    s0 = lcp_solve_full(qd, p, G, h, A, b, None, gondzio=0, **kw)
+    s2 = lcp_solve_full(qd, p, G, h, A, b, None, gondzio=2, **kw)
+    assert float(jnp.max(s0.resid)) < 1e-9
+    assert float(jnp.max(s2.resid)) < 1e-9
+    np.testing.assert_allclose(np.asarray(s2.z), np.asarray(s0.z),
+                               atol=1e-7)
+    assert float(jnp.mean(s2.iters)) <= float(jnp.mean(s0.iters))
+
+
+def test_gondzio_engine_layout_and_gradients():
+    """gondzio on the engine layout (diag Q + ConeF + gamma + row_mask +
+    fric_pair) matches gondzio=0, and the implicit gradient is identical
+    (the backward pass never sees the forward path)."""
+    from lcp_physics_tpu.lcp import lcp_solve
+
+    rng = np.random.default_rng(32)
+    B, n, C = 4, 12, 6
+    qd, p, G, h, F, rmask = _engine_layout_instance(rng, B, n, C)
+    kw = dict(max_iter=30, tol=1e-10, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, fric_pair=True, backend="xla")
+
+    def loss(p_, gz):
+        return jnp.sum(lcp_solve(qd, p_, G, h, None, None, F,
+                                 gondzio=gz, **kw) ** 2)
+
+    z0 = lcp_solve(qd, p, G, h, None, None, F, gondzio=0, **kw)
+    z2 = lcp_solve(qd, p, G, h, None, None, F, gondzio=2, **kw)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z0), atol=1e-7)
+    g0 = jax.grad(loss)(p, 0)
+    g2 = jax.grad(loss)(p, 2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
