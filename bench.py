@@ -186,10 +186,17 @@ def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
 
 
 def bench_fwd_bwd(B=64, n_steps=20):
-    """Forward+backward latency through a contact rollout (grad wrt
-    restitution/mass), the inference-demo hot path."""
+    """Forward+backward latency through a rollout (grad wrt
+    restitution/mass), the inference-demo hot path.  DEVICE-SIDE timing
+    (time_chained): the wall clock of one short fwd+bwd call through the
+    axon tunnel is ~80% dispatch/RTT overhead (round-3 measurement:
+    28.4 ms wall vs 5.3 ms device), which tracked the tunnel, not the
+    engine.  Earlier rounds' numbers (95.5 / 41.6 / 31.2 ms) carried
+    that same additive overhead.  Two scenes: the billiards-like sparse
+    line (contact-free fast path most steps) and a touching line
+    (persistent contacts, full implicit-gradient path every step)."""
     from lcp_physics_tpu.core import (WorldState, default_params,
-                                      make_scene_static, make_step)
+                                      make_scene_static)
     from lcp_physics_tpu.parallel import make_batched_step, tile_state
     from lcp_physics_tpu.utils import SimConfig
 
@@ -199,27 +206,35 @@ def bench_fwd_bwd(B=64, n_steps=20):
         static, verts=np.zeros((N, 1, 2), np.float32),
         radius=np.full(N, 1.0, np.float32), gravity=(0.0, 10.0),
         dtype=jnp.float32)
-    pos = np.stack([np.arange(N) * 2.2, np.zeros(N)], -1)
-    p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
-    state = WorldState(p=jnp.asarray(p), v=jnp.zeros((N, 3), jnp.float32),
-                       t=jnp.zeros((), jnp.float32))
-    states = tile_state(state, B)
     bstep = make_batched_step(static, SimConfig(max_iter=12,
                                                 solver_eps=1e-5))
 
-    @jax.jit
-    @jax.value_and_grad
-    def loss(params):
-        def body(s, _):
-            s2, _ = bstep(params, s, 0.01)
-            return s2, ()
-        out, _ = jax.lax.scan(body, states, None, length=n_steps)
-        return jnp.mean(out.p ** 2)
+    out = None
+    for tag, spacing in (("sparse", 2.2), ("touching", 2.0)):
+        pos = np.stack([np.arange(N) * spacing, np.zeros(N)], -1)
+        p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
+        state = WorldState(p=jnp.asarray(p),
+                           v=jnp.zeros((N, 3), jnp.float32),
+                           t=jnp.zeros((), jnp.float32))
+        states = tile_state(state, B)
 
-    sec = time_fn(loss, params, iters=10)
-    log(f"[bench] fwd+bwd rollout (B={B}, 8 bodies, {n_steps} steps): "
-        f"{sec * 1e3:.1f} ms")
-    return sec
+        def loss(params, states):
+            def body(s, _):
+                s2, _ = bstep(params, s, 0.01)
+                return s2, ()
+            out, _ = jax.lax.scan(body, states, None, length=n_steps)
+            return jnp.mean(out.p ** 2)
+
+        def fb(params, states):
+            v, g = jax.value_and_grad(loss)(params, states)
+            return v, g.mass
+
+        sec = time_chained(fb, params, states, reps=20)
+        log(f"[bench] fwd+bwd rollout (B={B}, 8 bodies, {n_steps} steps, "
+            f"{tag}): {sec * 1e3:.1f} ms device-side")
+        if tag == "sparse":
+            out = sec
+    return out
 
 
 def bench_scale_up(B=4096, n_steps=8, batch_tile=1024):
