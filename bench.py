@@ -101,9 +101,12 @@ def bench_lcp_solves(B=4096):
                          not_improved_lim=SimConfig.solver_stall_lim,
                          fric_pair=True)
 
+    # reps=800: the single end-of-chain materialization costs ~30 ms of
+    # tunnel RTT; on a ~1.3 ms batch that is +0.15 ms/rep at reps=200
+    # (11% bias) but +0.04 ms/rep here (~3%) — CLAUDE.md timing note.
     sec = time_chained(solve, blocks["Q"], blocks["p"], blocks["G"],
                        blocks["h"], blocks["A"], blocks["b"], blocks["F"],
-                       blocks["row_mask"], reps=200)
+                       blocks["row_mask"], reps=800)
     rate = B / sec
     log(f"[bench] batched contact LCP (engine-assembled): B={B} n={3*N} "
         f"m={m} q={q}, avg {n_active:.1f} active contacts: "
@@ -111,22 +114,18 @@ def bench_lcp_solves(B=4096):
     return rate
 
 
-def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
-                      hull_budget=0):
-    """Batched 64-body world stepping (the BASELINE '64 bodies' metric).
+def build_world_scene(B=256, dense=False, hulls=False, c_max=128):
+    """The canonical 64-body bench scene, shared with tools/roofline.py
+    (the roofline accounting must describe the SAME workload the bench
+    records).  Returns (static, params, states).
 
-    dense=False: the round-1 loose grid (free flight, ~0 active contacts —
-    measures assembly + solver fast-path overhead).  dense=True: touching
-    grid with ~90 persistent contacts per world (measures the full
-    contact-LCP iteration cost).  hulls=True swaps the 64 circles for 64
-    unit squares (2016 static hull pairs through the SAT/clipping
-    narrowphase — the reference's demos are Rect/Hull-heavy, so this is
-    the honest geometry workload; VERDICT r2 item 2).  hull_budget > 0
-    turns on the AABB top-K pair budget (SimConfig.hull_pair_budget)."""
+    dense=False: loose grid (free flight, ~0 active contacts).
+    dense=True: touching grid with ~90 persistent contacts per world.
+    hulls=True: 64 unit squares instead of circles (2016 static hull
+    pairs through the SAT/clipping narrowphase)."""
     from lcp_physics_tpu.core import (WorldState, default_params,
                                       make_scene_static)
-    from lcp_physics_tpu.parallel import make_batched_step, tile_state
-    from lcp_physics_tpu.utils import SimConfig
+    from lcp_physics_tpu.parallel import tile_state
 
     N = 64
     rng = np.random.default_rng(1)
@@ -140,7 +139,7 @@ def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
         counts = [1] * N
         verts = np.zeros((N, 1, 2), np.float32)
         radius = np.full(N, 1.0, np.float32)
-    static = make_scene_static(counts, c_max=128)
+    static = make_scene_static(counts, c_max=c_max)
     params = default_params(
         static, verts=verts, radius=radius, gravity=(0.0, 10.0),
         restitution=0.4, dtype=jnp.float32)
@@ -158,8 +157,19 @@ def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
     p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
     state = WorldState(p=jnp.asarray(p), v=jnp.asarray(v0),
                        t=jnp.zeros((), jnp.float32))
-    states = tile_state(state, B)
+    return static, params, tile_state(state, B)
 
+
+def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
+                      hull_budget=0):
+    """Batched 64-body world stepping (the BASELINE '64 bodies' metric).
+
+    See build_world_scene for the scene variants.  hull_budget > 0
+    turns on the AABB top-K pair budget (SimConfig.hull_pair_budget)."""
+    from lcp_physics_tpu.parallel import make_batched_step
+    from lcp_physics_tpu.utils import SimConfig
+
+    static, params, states = build_world_scene(B, dense=dense, hulls=hulls)
     config = SimConfig(max_iter=12, solver_eps=1e-5,
                        hull_pair_budget=hull_budget)
     bstep = make_batched_step(static, config)
@@ -229,7 +239,9 @@ def bench_fwd_bwd(B=64, n_steps=20):
             v, g = jax.value_and_grad(loss)(params, states)
             return v, g.mass
 
-        sec = time_chained(fb, params, states, reps=20)
+        # reps=200: at reps=20 the ~30 ms end-of-chain RTT is +1.5 ms/rep
+        # on a ~5 ms measurement (28% bias) — CLAUDE.md timing note.
+        sec = time_chained(fb, params, states, reps=200)
         log(f"[bench] fwd+bwd rollout (B={B}, 8 bodies, {n_steps} steps, "
             f"{tag}): {sec * 1e3:.1f} ms device-side")
         if tag == "sparse":

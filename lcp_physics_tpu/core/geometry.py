@@ -348,22 +348,15 @@ def hull_hull_pairs(wv, counts_j, pos, ia, ib, margin_p):
     rinv = 1.0 / jnp.sqrt(rtx * rtx + rty * rty + _TINY)
     rtx, rty = rtx * rinv, rty * rinv
 
-    def halfplane(g0, gd):
-        eps = 1e-12
-        p_ = gd > eps
-        n_ = gd < -eps
-        t_cross = -g0 / jnp.where(jnp.abs(gd) > eps, gd, 1.0)
-        lo = jnp.where(p_, t_cross, -jnp.inf)
-        hi = jnp.where(n_, t_cross, jnp.inf)
-        empty = (~p_) & (~n_) & (g0 < 0)
-        return jnp.where(empty, jnp.inf, lo), hi
-
-    lo1, hi1 = halfplane(rtx * (inc_v1x - ref_v1x)
-                         + rty * (inc_v1y - ref_v1y),
-                         rtx * Dx + rty * Dy)
-    lo2, hi2 = halfplane(-rtx * (inc_v1x - ref_v2x)
-                         - rty * (inc_v1y - ref_v2y),
-                         -rtx * Dx - rty * Dy)
+    # _halfplane_interval is elementwise, so it serves the (P,)-lane SoA
+    # layout and the AoS kernel identically (one copy of the eps/empty-
+    # interval logic — the two narrowphase kernels must not diverge).
+    lo1, hi1 = _halfplane_interval(rtx * (inc_v1x - ref_v1x)
+                                   + rty * (inc_v1y - ref_v1y),
+                                   rtx * Dx + rty * Dy)
+    lo2, hi2 = _halfplane_interval(-rtx * (inc_v1x - ref_v2x)
+                                   - rty * (inc_v1y - ref_v2y),
+                                   -rtx * Dx - rty * Dy)
     t0 = jnp.maximum(0.0, jnp.maximum(lo1, lo2))
     t1 = jnp.minimum(1.0, jnp.minimum(hi1, hi2))
     seg_ok = t0 <= t1

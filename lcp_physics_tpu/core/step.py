@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lcp_physics_tpu.core.geometry import find_contacts, max_penetration
 from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
@@ -64,7 +65,11 @@ class StepDiagnostics(NamedTuple):
     # the full step was accepted first try).  ``halvings ==
     # max_dt_halvings`` with ``max_penetration > tol`` means the budget
     # was exhausted (the host path warns; the jitted path reports here).
-    halvings: jax.Array = jnp.zeros((), jnp.int32)
+    # NOTE: the default is a NumPy scalar, NOT jnp.zeros — a jnp default
+    # would initialize the JAX backend at import time as a side effect of
+    # ``import lcp_physics_tpu``, silently pinning the platform before
+    # the user's jax.config.update('jax_platforms', ...) can run.
+    halvings: jax.Array = np.int32(0)
 
 
 def generalized_mass(params: SceneParams):
@@ -409,12 +414,24 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                 jnp.full((B,), jnp.inf, dtype), jnp.zeros((), jnp.int32))
         dt_cur, accepted, best_dt, _, _ = jax.lax.while_loop(
             cond, body, init)
-        # Budget exhausted -> accept the shallowest-penetration sub-step
-        # (the host loop warns; here diagnostics.halvings reports it).
+        # Budget exhausted -> accept the shallowest-penetration sub-step;
+        # halvings then reports max_dt_halvings (NOT the best sub-step's
+        # halving count) so the documented exhaustion signal
+        # ``halvings == max_dt_halvings and max_penetration > tol``
+        # actually fires (the host loop warns; the jitted path reports).
         dt_acc = jnp.where(accepted, dt_cur, best_dt)
-        new_states, diag = step_tile_plain(params, states, dt_acc)
-        halvings = jnp.round(
-            jnp.log2(dt_full / dt_acc)).astype(jnp.int32)
+        ratio = jnp.where(dt_acc > 0, dt_full / jnp.where(dt_acc > 0,
+                                                          dt_acc, 1.0), 1.0)
+        halvings = jnp.where(
+            accepted, jnp.round(jnp.log2(ratio)).astype(jnp.int32), max_h)
+        # Worlds that accepted the FULL step get the caller's
+        # differentiable dt back (d/d(dt) flows exactly as in the plain
+        # step); a halved dt is a data-dependent choice and stays
+        # stop-gradient, like the host loop's.
+        dt_final = jnp.where(halvings == 0,
+                             jnp.broadcast_to(jnp.asarray(dt, dtype), (B,)),
+                             dt_acc)
+        new_states, diag = step_tile_plain(params, states, dt_final)
         return new_states, diag._replace(halvings=halvings)
 
     tile = config.batch_tile

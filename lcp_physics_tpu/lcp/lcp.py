@@ -76,16 +76,21 @@ def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
              not_improved_lim, factor_precision, fric_pair, gondzio,
              residuals, g):
-    # (factor_precision governs the FORWARD factor only; the backward
-    # one-shot solve always traces under 'highest'.)
+    # The backward one-shot solve always traces its matmuls under
+    # 'highest'; factor_precision additionally selects the precision-
+    # exact scalar-GJ factor kernel (ambient precision alone does not
+    # fix the blocked kernel's rank-16 explicit pivot inverses —
+    # PERF.md round-3), so a 'highest' forward profile gets gradients
+    # of matching accuracy.
     from lcp_physics_tpu.lcp.pdipm import _precision_ctx
     with _precision_ctx():
         return _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows,
-                             refine, residuals, g, fric_pair)
+                             refine, residuals, g, fric_pair,
+                             factor_precision)
 
 
 def _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows, refine,
-                  residuals, g, fric_pair=False):
+                  residuals, g, fric_pair=False, factor_precision=None):
     z, s, lam, nu, Q, G, A, F, row_mask = residuals
     # Q stays in DIAGONAL form ((B, n) / (n,)) on the physics path; its
     # cotangent is then the diagonal -(w_z o z) instead of a dense outer.
@@ -119,7 +124,8 @@ def _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows, refine,
         kkt = make_kkt_factor(Q, Q if diag_q else None, G, A, F,
                               consts["reg"], backend,
                               gamma_rows if diag_q else 0,
-                              refine=refine, fric_pair=fric_pair)(d_inv)
+                              refine=refine, fric_pair=fric_pair,
+                              fwd_precision=factor_precision)(d_inv)
         rhs = jnp.concatenate(
             [g, jnp.zeros_like(s), jnp.zeros_like(nu)], axis=-1)
         w = kkt(rhs, trans=1)

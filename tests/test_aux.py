@@ -201,3 +201,22 @@ def test_parity_reference_profile_pins_semantics():
     w2, _ = scene_bounce(api_d)
     assert w2.speculative is True
     assert w2.engine._config(w2).solver_stall_lim == 1
+
+
+def test_import_does_not_initialize_jax_backend():
+    """``import lcp_physics_tpu`` must not create device arrays at import
+    time: backend initialization as an import side effect silently pins
+    the platform before the user's jax.config.update('jax_platforms', ...)
+    can run (code-review r3: a jnp default on StepDiagnostics did this)."""
+    import subprocess
+    import sys
+    code = (
+        "import lcp_physics_tpu\n"
+        "import jax._src.xla_bridge as xb\n"
+        "raise SystemExit(1 if xb._backends else 0)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, (
+        f"importing lcp_physics_tpu initialized a JAX backend\n"
+        f"{proc.stderr[-500:]}")

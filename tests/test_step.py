@@ -504,6 +504,57 @@ def test_penetration_backtrack_noop_and_grads():
     assert np.isfinite(float(g))
 
 
+def test_penetration_backtrack_dt_gradient():
+    """Worlds that accept the FULL step keep the exact d/d(dt) of the
+    plain path with backtrack on (code-review r3: dt_full's stop_gradient
+    used to sever it to exactly 0); a halved dt is a data-dependent
+    choice and stays stop-gradient."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.3)
+    p0 = np.array([[[0., 0., -5.], [0., 0., 0.]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.zeros((1, 2, 3)),
+                        t=jnp.zeros((1,)))
+
+    def loss_of(cfg):
+        bstep = make_step_batched(static, cfg)
+
+        def loss(dt):
+            out, _ = bstep(params, states, dt)
+            return jnp.sum(out.p ** 2)
+        return loss
+
+    g_on = jax.grad(loss_of(SimConfig(penetration_backtrack=True)))(DT)
+    g_off = jax.grad(loss_of(SimConfig()))(DT)
+    assert abs(float(g_off)) > 1e-8          # dt genuinely matters here
+    np.testing.assert_allclose(float(g_on), float(g_off), rtol=1e-10)
+
+
+def test_penetration_backtrack_exhaustion_signal():
+    """When the halving budget cannot cure fresh penetration, halvings
+    reports max_dt_halvings (the documented exhaustion signal), not the
+    best sub-step's halving count (code-review r3)."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(gravity=(0.0, G), restitution=0.0)
+    tol = 1e-6
+    # max_dt_halvings=1 with a deep fast impact: one halving cannot cure
+    # the fresh penetration, so the budget exhausts.
+    cfg = SimConfig(speculative=False, tol=tol,
+                    penetration_backtrack=True, max_dt_halvings=1)
+    p0 = np.array([[[0., 0., -2.4], [0., 0., 0.]]])
+    v0 = np.array([[[0., 0., 30.0], [0., 0., 0.]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.asarray(v0),
+                        t=jnp.zeros((1,)))
+    out, diag = jax.jit(make_step_batched(static, cfg))(params, states,
+                                                        0.05)
+    fresh = float(diag.max_penetration[0] - diag.pre_penetration[0])
+    if fresh > tol:   # budget really exhausted -> signal must fire
+        assert int(diag.halvings[0]) == 1
+    else:             # environment-dependent: accepted after <=1 halving
+        assert int(diag.halvings[0]) in (0, 1)
+
+
 def test_contact_free_fast_path_matches_solver():
     """contact_free_fast_path dispatches a tile with zero active contact
     rows to the closed-form equality solve (core/step.py::_equality_solve)

@@ -33,36 +33,16 @@ PEAK_HBM = 819e9            # bytes/s
 
 
 def build_dense_scene(B=256, hulls=False):
-    from lcp_physics_tpu.core import (WorldState, default_params,
-                                      make_scene_static)
+    """The bench's dense 64-body scene (bench.build_world_scene — ONE
+    copy, so the roofline always describes the recorded workload) plus
+    the solver config and assembly closure the components are timed
+    under."""
     from lcp_physics_tpu.core.step import make_assemble
-    from lcp_physics_tpu.parallel import tile_state
     from lcp_physics_tpu.utils import SimConfig
 
-    N = 64
-    rng = np.random.default_rng(1)
-    if hulls:
-        counts = [4] * N
-        sq = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
-                      np.float32)
-        verts = np.broadcast_to(sq, (N, 4, 2)).copy()
-        radius = np.zeros(N, np.float32)
-    else:
-        counts = [1] * N
-        verts = np.zeros((N, 1, 2), np.float32)
-        radius = np.full(N, 1.0, np.float32)
-    static = make_scene_static(counts, c_max=128)
-    params = default_params(static, verts=verts, radius=radius,
-                            gravity=(0.0, 10.0), restitution=0.4,
-                            dtype=jnp.float32)
-    gx, gy = np.meshgrid(np.arange(8), np.arange(8))
-    pos = np.stack([gx.ravel() * 2.01, gy.ravel() * 2.01], -1)
-    pos = pos + rng.uniform(-0.01, 0.01, pos.shape)
-    v0 = rng.normal(0, 0.5, (N, 3)).astype(np.float32)
-    p = np.concatenate([np.zeros((N, 1)), pos], -1).astype(np.float32)
-    state = WorldState(p=jnp.asarray(p), v=jnp.asarray(v0),
-                       t=jnp.zeros((), jnp.float32))
-    states = tile_state(state, B)
+    from bench import build_world_scene
+
+    static, params, states = build_world_scene(B, dense=True, hulls=hulls)
     config = SimConfig(max_iter=12, solver_eps=1e-5)
     assemble, _ = make_assemble(static, config)
     return static, params, states, config, assemble
