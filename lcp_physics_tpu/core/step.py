@@ -106,14 +106,26 @@ def total_force(static: SceneStatic, params: SceneParams, state: WorldState):
 
 def make_assemble(static: SceneStatic, config: SimConfig):
     """Per-world LCP block assembly: (params, state, dt) ->
-    (blocks dict, contacts).  Pure, vmappable."""
+    (blocks dict, contacts).  Pure, vmappable.
+
+    The returned ``assemble`` also carries the TWO-STAGE split the
+    contact-free fast path uses (``assemble.base`` /
+    ``assemble.contact_blocks``): the base stage computes everything the
+    equality branch and the dispatch predicate need (mass/forces,
+    equality blocks, narrowphase contacts, row mask), and the contact
+    stage builds the G/h/F tensors — so a tile with no active contacts
+    never materializes the (m, 3N) Jacobian blocks at all (they are the
+    dominant assembly cost at large C)."""
     pairs = static.pair_lists()
     counts = static.counts_np()
     N = static.n_bodies
     C = static.c_max
     fd = config.fric_dirs
 
-    def assemble(params, state, dt):
+    def assemble_base(params, state, dt):
+        """Stage 1: equality blocks + narrowphase.  Returns
+        (eq blocks dict, contacts, row_mask) — row_mask is None when the
+        scene has no contact capacity."""
         dtype = state.p.dtype
         Mdiag = generalized_mass(params)
         v = state.v.reshape(-1)
@@ -122,6 +134,7 @@ def make_assemble(static: SceneStatic, config: SimConfig):
 
         Je = assemble_Je(static, state.p)
         b_eq = jnp.zeros((Je.shape[0],), dtype)
+        eq = dict(Q=Mdiag, p=-u, A=Je, b=b_eq)
 
         margin = (motion_margins(params, state, dt, counts, config.tol)
                   if config.speculative else None)
@@ -131,11 +144,17 @@ def make_assemble(static: SceneStatic, config: SimConfig):
         if config.stop_contact_grad:
             contacts = jax.tree.map(jax.lax.stop_gradient, contacts)
         if C == 0:
-            blocks = dict(Q=Mdiag, p=-u, G=jnp.zeros((0, 3 * N), dtype),
-                          h=jnp.zeros((0,), dtype), A=Je, b=b_eq,
-                          F=jnp.zeros((0, 0), dtype))
-            return blocks, contacts
+            return eq, contacts, None
+        mask = contacts.valid.astype(dtype)
+        # 1.0 on real contact rows, 0.0 on padding: the solver pins padded
+        # rows at their exact solution and converges on active rows only.
+        rmask = jnp.concatenate([mask, jnp.tile(mask, fd), mask])
+        return eq, contacts, rmask
 
+    def assemble_contact_blocks(params, state, contacts, eq, rmask, dt):
+        """Stage 2: the G/h/F contact tensors (the expensive part)."""
+        dtype = state.p.dtype
+        v = state.v.reshape(-1)
         Jc, Jf, _ = assemble_contact_jacobians(contacts, N, fd)
         mask = contacts.valid.astype(dtype)
 
@@ -169,12 +188,23 @@ def make_assemble(static: SceneStatic, config: SimConfig):
                         jnp.zeros((fd * C,), dtype), 1.0)
         h_g = jnp.where(contacts.valid, jnp.zeros((C,), dtype), 1.0)
         h = jnp.concatenate([h_n, h_f, h_g])
-        # 1.0 on real contact rows, 0.0 on padding: the solver pins padded
-        # rows at their exact solution and converges on active rows only.
-        rmask = jnp.concatenate([mask, jnp.tile(mask, fd), mask])
-        blocks = dict(Q=Mdiag, p=-u, G=G, h=h, A=Je, b=b_eq, F=F,
-                      row_mask=rmask)
-        return blocks, contacts
+        return dict(**eq, G=G, h=h, F=F, row_mask=rmask)
+
+    def empty_blocks(eq, dtype):
+        """Contact blocks for a scene with NO contact capacity (C == 0)."""
+        return dict(**eq, G=jnp.zeros((0, 3 * N), dtype),
+                    h=jnp.zeros((0,), dtype), F=jnp.zeros((0, 0), dtype))
+
+    def assemble(params, state, dt):
+        eq, contacts, rmask = assemble_base(params, state, dt)
+        if rmask is None:
+            return empty_blocks(eq, state.p.dtype), contacts
+        return (assemble_contact_blocks(params, state, contacts, eq,
+                                        rmask, dt), contacts)
+
+    assemble.base = assemble_base
+    assemble.contact_blocks = assemble_contact_blocks
+    assemble.empty_blocks = empty_blocks
 
     def assemble_post_stab(params, p):
         """Blocks for the position-projection solve (reference
@@ -256,6 +286,20 @@ def _solve_or_free(blocks, dyn_kw, enabled):
                                 blocks["A"], blocks["b"]))
 
 
+def _solve_or_free_lazy(eq, rmask, build_blocks, dyn_kw, enabled):
+    """Like :func:`_solve_or_free`, but the G/h/F contact tensors are
+    built INSIDE the solver branch (``build_blocks`` is a nullary closure
+    over the narrowphase contacts): a contact-free tile skips not just
+    the IPM but the whole (m, 3N) Jacobian-block assembly — on loose
+    scenes that assembly dominates the surviving step cost."""
+    if not enabled or rmask is None:
+        return lcp_solve(**build_blocks(), **dyn_kw)
+    return jax.lax.cond(
+        jnp.any(rmask > 0),
+        lambda: lcp_solve(**build_blocks(), **dyn_kw),
+        lambda: _equality_solve(eq["Q"], eq["p"], eq["A"], eq["b"]))
+
+
 def _max_depth(contacts, dtype):
     return jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0),
                    axis=-1, initial=0.0).astype(dtype)
@@ -304,8 +348,13 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
 
     def step(params: SceneParams, state: WorldState, dt):
         dt = jnp.asarray(dt, state.p.dtype)
-        blocks, contacts = assemble(params, state, dt)
-        v_new = _solve_or_free(blocks, dyn_kw, fast_free).reshape(N, 3)
+        eq, contacts, rmask = assemble.base(params, state, dt)
+        build = ((lambda: assemble.contact_blocks(params, state, contacts,
+                                                  eq, rmask, dt))
+                 if C else
+                 (lambda: assemble.empty_blocks(eq, state.p.dtype)))
+        v_new = _solve_or_free_lazy(eq, rmask, build, dyn_kw,
+                                    fast_free).reshape(N, 3)
         p_new = state.p + dt * v_new  # semi-implicit Euler
         if config.post_stabilization:
             ps = assemble_ps(params, p_new)
@@ -341,7 +390,9 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     # dt rides a per-world axis: the in-jit penetration backtrack halves
     # dt independently per world, and a scalar dt broadcasts to (B,)
     # (bit-identical to the old scalar path).
-    assemble_b = jax.vmap(assemble, in_axes=(p_ax, 0, 0))
+    assemble_base_b = jax.vmap(assemble.base, in_axes=(p_ax, 0, 0))
+    assemble_cb_b = jax.vmap(assemble.contact_blocks,
+                             in_axes=(p_ax, 0, 0, 0, 0, 0))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
     dyn_kw = dict(solver_kw, gamma_rows=C, fric_pair=(config.fric_dirs == 2))
 
@@ -357,9 +408,13 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     def step_tile_plain(params, states, dt):
         B = states.p.shape[0]
         dt_w = jnp.broadcast_to(jnp.asarray(dt, states.p.dtype), (B,))
-        blocks, contacts = assemble_b(params, states, dt_w)
-        v_new = _solve_or_free(blocks, dyn_kw,
-                               fast_free).reshape(B, N, 3)
+        eq, contacts, rmask = assemble_base_b(params, states, dt_w)
+        build = ((lambda: assemble_cb_b(params, states, contacts, eq,
+                                        rmask, dt_w))
+                 if C else
+                 (lambda: assemble.empty_blocks(eq, states.p.dtype)))
+        v_new = _solve_or_free_lazy(eq, rmask, build, dyn_kw,
+                                    fast_free).reshape(B, N, 3)
         p_new = states.p + dt_w[:, None, None] * v_new
         if config.post_stabilization:
             ps = assemble_ps_b(params, p_new)

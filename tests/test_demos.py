@@ -91,3 +91,14 @@ def test_billiards_gradient_descends():
     assert float(jnp.linalg.norm(g0)) > 0  # cue must reach the target
     l1, _ = vg(v0 - 1e-2 * g0 / jnp.linalg.norm(g0))
     assert float(l1) < float(l0)
+
+
+def test_sharded_inference_recovers_mass():
+    """The sharded multi-chip inference demo (demos/sharded_inference.py)
+    runs on the 8-virtual-device CPU mesh (conftest) and recovers the
+    ball's mass from domain-randomized sharded trajectories — the shared-
+    parameter gradient psum rides the mesh."""
+    assert len(jax.devices()) == 8  # conftest provisions the mesh
+    mod = load("sharded_inference")
+    mass = mod["main"](["--worlds", "32", "--epochs", "50"])
+    assert abs(mass - mod["TRUE_MASS"]) < 0.3

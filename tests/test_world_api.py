@@ -348,3 +348,30 @@ def test_engine_cache_is_bounded():
             e._cache.popitem(last=False)
     assert len(e._cache) == cap
     assert ("key", 0) not in e._cache and ("key", cap + 4) in e._cache
+
+
+def test_box_stack_is_stable():
+    """A 3-box stack on a fixed floor under gravity must stand still:
+    zero horizontal drift and exact resting heights over 100 steps.
+    Stacking is the classic stress test of contact-solver quality
+    (friction + persistent multi-contact); the reference engine's demos
+    stack Rects the same way."""
+    from lcp_physics_tpu.physics import World
+
+    bodies, joints = [], []
+    floor = Rect([300, 400], [400, 20], fric_coeff=0.8)
+    bodies.append(floor)
+    joints.append(TotalConstraint(floor))
+    for k in range(3):
+        bodies.append(Rect([300, 400 - 10 - 20 - 40 * k], [40, 40],
+                           fric_coeff=0.8, restitution=0.0))
+    w = World(bodies, joints, gravity=(0.0, 100.0),
+              strict_no_penetration=False)
+    x0 = np.array([float(b.pos[0]) for b in bodies[1:]])
+    for _ in range(100):
+        w.step(fixed_dt=True)
+    x1 = np.array([float(b.pos[0]) for b in bodies[1:]])
+    y1 = np.array([float(b.pos[1]) for b in bodies[1:]])
+    np.testing.assert_allclose(x1, x0, atol=1e-6)       # no sliding
+    np.testing.assert_allclose(y1, [370.0, 330.0, 290.0],
+                               atol=1e-3)               # no sinking/hover
