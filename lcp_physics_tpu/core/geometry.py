@@ -464,6 +464,23 @@ def aabb_overlap_depth(boxes, ia, ib):
     return jnp.min(ext, axis=-1)
 
 
+def any_aabb_overlap(p, verts, radius, counts, pairs, margin=None):
+    """Scalar bool: does ANY allowed pair's (margin-inflated) AABB
+    overlap?  Conservative contact predicate: narrowphase validity always
+    requires AABB overlap (see find_contacts), so False here proves the
+    world is contact-free — including speculative activations — without
+    running any narrowphase kernel or compaction.  O(N·V + P) elementwise."""
+    boxes = aabbs(p, verts, radius, jnp.asarray(np.asarray(counts)))
+    if margin is not None:
+        boxes = boxes + jnp.stack([-margin, margin], axis=1)[:, :, None]
+    hit = jnp.zeros((), bool)
+    for key in ("cc", "ch", "hh"):
+        ia, ib = pairs[key]
+        if len(ia):
+            hit = hit | jnp.any(aabb_overlap(boxes, ia, ib))
+    return hit
+
+
 def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None,
                   hull_budget=0):
     """Full collision pipeline for one world.

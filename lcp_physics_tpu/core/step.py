@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lcp_physics_tpu.core.geometry import find_contacts, max_penetration
+from lcp_physics_tpu.core.geometry import (any_aabb_overlap, find_contacts,
+                                            max_penetration)
 from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
                                             assemble_Je,
                                             constraint_position_error)
@@ -108,47 +109,68 @@ def make_assemble(static: SceneStatic, config: SimConfig):
     """Per-world LCP block assembly: (params, state, dt) ->
     (blocks dict, contacts).  Pure, vmappable.
 
-    The returned ``assemble`` also carries the TWO-STAGE split the
-    contact-free fast path uses (``assemble.base`` /
-    ``assemble.contact_blocks``): the base stage computes everything the
-    equality branch and the dispatch predicate need (mass/forces,
-    equality blocks, narrowphase contacts, row mask), and the contact
-    stage builds the G/h/F tensors — so a tile with no active contacts
-    never materializes the (m, 3N) Jacobian blocks at all (they are the
-    dominant assembly cost at large C)."""
+    The returned ``assemble`` also carries the STAGED split the
+    contact-free fast path uses: ``assemble.eq`` (mass/forces/equality
+    blocks — no narrowphase), ``assemble.any_overlap`` (conservative
+    AABB contact predicate at AABB cost), ``assemble.contacts``
+    (narrowphase + row mask), ``assemble.contact_blocks`` (the G/h/F
+    tensors) and ``assemble.base`` (eq + contacts composed).  A tile
+    whose AABBs never overlap runs ONLY the eq stage and the predicate:
+    no narrowphase kernels, no compaction, no (m, 3N) Jacobian blocks,
+    no IPM."""
     pairs = static.pair_lists()
     counts = static.counts_np()
     N = static.n_bodies
     C = static.c_max
     fd = config.fric_dirs
 
-    def assemble_base(params, state, dt):
-        """Stage 1: equality blocks + narrowphase.  Returns
-        (eq blocks dict, contacts, row_mask) — row_mask is None when the
-        scene has no contact capacity."""
+    def assemble_eq(params, state, dt):
+        """Equality-only blocks (mass, forces, joints) — no narrowphase."""
         dtype = state.p.dtype
         Mdiag = generalized_mass(params)
         v = state.v.reshape(-1)
         f = total_force(static, params, state).reshape(-1)
         u = Mdiag * v + dt * f
-
         Je = assemble_Je(static, state.p)
         b_eq = jnp.zeros((Je.shape[0],), dtype)
-        eq = dict(Q=Mdiag, p=-u, A=Je, b=b_eq)
+        return dict(Q=Mdiag, p=-u, A=Je, b=b_eq)
 
-        margin = (motion_margins(params, state, dt, counts, config.tol)
-                  if config.speculative else None)
+    def _margin(params, state, dt):
+        return (motion_margins(params, state, dt, counts, config.tol)
+                if config.speculative else None)
+
+    def assemble_contacts(params, state, dt):
+        """Narrowphase stage: (contacts, row_mask); row_mask is None when
+        the scene has no contact capacity."""
+        dtype = state.p.dtype
         contacts = find_contacts(state.p, params.verts, params.radius,
-                                 counts, pairs, C, margin=margin,
+                                 counts, pairs, C,
+                                 margin=_margin(params, state, dt),
                                  hull_budget=config.hull_pair_budget)
         if config.stop_contact_grad:
             contacts = jax.tree.map(jax.lax.stop_gradient, contacts)
         if C == 0:
-            return eq, contacts, None
+            return contacts, None
         mask = contacts.valid.astype(dtype)
         # 1.0 on real contact rows, 0.0 on padding: the solver pins padded
         # rows at their exact solution and converges on active rows only.
         rmask = jnp.concatenate([mask, jnp.tile(mask, fd), mask])
+        return contacts, rmask
+
+    def any_overlap(params, state, dt):
+        """Conservative per-world contact predicate: False PROVES the
+        world is contact-free (narrowphase validity requires AABB
+        overlap, with the same speculative margin inflation), at AABB
+        cost — no narrowphase kernels, no compaction."""
+        return any_aabb_overlap(state.p, params.verts, params.radius,
+                                counts, pairs,
+                                margin=_margin(params, state, dt))
+
+    def assemble_base(params, state, dt):
+        """Stage 1: equality blocks + narrowphase.  Returns
+        (eq blocks dict, contacts, row_mask)."""
+        eq = assemble_eq(params, state, dt)
+        contacts, rmask = assemble_contacts(params, state, dt)
         return eq, contacts, rmask
 
     def assemble_contact_blocks(params, state, contacts, eq, rmask, dt):
@@ -203,6 +225,9 @@ def make_assemble(static: SceneStatic, config: SimConfig):
                                         rmask, dt), contacts)
 
     assemble.base = assemble_base
+    assemble.eq = assemble_eq
+    assemble.contacts = assemble_contacts
+    assemble.any_overlap = any_overlap
     assemble.contact_blocks = assemble_contact_blocks
     assemble.empty_blocks = empty_blocks
 
@@ -286,37 +311,9 @@ def _solve_or_free(blocks, dyn_kw, enabled):
                                 blocks["A"], blocks["b"]))
 
 
-def _solve_or_free_lazy(eq, rmask, build_blocks, dyn_kw, enabled):
-    """Like :func:`_solve_or_free`, but the G/h/F contact tensors are
-    built INSIDE the solver branch (``build_blocks`` is a nullary closure
-    over the narrowphase contacts): a contact-free tile skips not just
-    the IPM but the whole (m, 3N) Jacobian-block assembly — on loose
-    scenes that assembly dominates the surviving step cost."""
-    if not enabled or rmask is None:
-        return lcp_solve(**build_blocks(), **dyn_kw)
-    return jax.lax.cond(
-        jnp.any(rmask > 0),
-        lambda: lcp_solve(**build_blocks(), **dyn_kw),
-        lambda: _equality_solve(eq["Q"], eq["p"], eq["A"], eq["b"]))
-
-
 def _max_depth(contacts, dtype):
     return jnp.max(jnp.where(contacts.valid, contacts.depth, 0.0),
                    axis=-1, initial=0.0).astype(dtype)
-
-
-def _diagnostics(contacts, post_pen, C, dtype):
-    lead = contacts.valid.shape[:-1]
-    if C == 0:
-        z = jnp.zeros(lead, dtype)
-        return StepDiagnostics(jnp.zeros(lead, jnp.int32), z, z,
-                               jnp.zeros(lead, jnp.int32))
-    return StepDiagnostics(
-        jnp.sum(contacts.valid & (contacts.depth > 0),
-                axis=-1).astype(jnp.int32),
-        jax.lax.stop_gradient(post_pen.astype(dtype)),
-        _max_depth(contacts, dtype),
-        jnp.zeros(lead, jnp.int32))
 
 
 def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
@@ -346,25 +343,64 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
 
     fast_free = config.contact_free_fast_path
 
+    def solve_with_contacts(params, state, eq, dt):
+        """Solver branch: narrowphase + contact blocks + LCP, plus the
+        contact-derived diagnostics fields."""
+        contacts, rmask = assemble.contacts(params, state, dt)
+        blocks = assemble.contact_blocks(params, state, contacts, eq,
+                                         rmask, dt)
+        v = lcp_solve(**blocks, **dyn_kw)
+        ncon = jnp.sum(contacts.valid
+                       & (contacts.depth > 0)).astype(jnp.int32)
+        return v, ncon, _max_depth(contacts, state.p.dtype)
+
     def step(params: SceneParams, state: WorldState, dt):
         dt = jnp.asarray(dt, state.p.dtype)
-        eq, contacts, rmask = assemble.base(params, state, dt)
-        build = ((lambda: assemble.contact_blocks(params, state, contacts,
-                                                  eq, rmask, dt))
-                 if C else
-                 (lambda: assemble.empty_blocks(eq, state.p.dtype)))
-        v_new = _solve_or_free_lazy(eq, rmask, build, dyn_kw,
-                                    fast_free).reshape(N, 3)
+        dtype = state.p.dtype
+        eq = assemble.eq(params, state, dt)
+        if C and fast_free:
+            # Conservative AABB predicate: False proves contact-free
+            # (incl. speculative bands), so the free branch skips the
+            # narrowphase, the Jacobian build AND the IPM.
+            v_flat, ncon, prepen = jax.lax.cond(
+                assemble.any_overlap(params, state, dt),
+                lambda: solve_with_contacts(params, state, eq, dt),
+                lambda: (_equality_solve(eq["Q"], eq["p"], eq["A"],
+                                         eq["b"]),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), dtype)))
+        elif C:
+            v_flat, ncon, prepen = solve_with_contacts(params, state, eq,
+                                                       dt)
+        else:
+            v_flat = lcp_solve(**assemble.empty_blocks(eq, dtype),
+                               **dyn_kw)
+            ncon, prepen = jnp.zeros((), jnp.int32), jnp.zeros((), dtype)
+        v_new = v_flat.reshape(N, 3)
         p_new = state.p + dt * v_new  # semi-implicit Euler
         if config.post_stabilization:
             ps = assemble_ps(params, p_new)
             p_new = p_new + _solve_or_free(
                 ps, solver_kw, fast_free).reshape(N, 3)
         new_state = WorldState(p=p_new, v=v_new, t=state.t + dt)
-        post = (max_penetration(jax.lax.stop_gradient(p_new), params.verts,
-                                params.radius, counts, pairs)
-                if C else jnp.zeros((), state.p.dtype))
-        return new_state, _diagnostics(contacts, post, C, state.p.dtype)
+        sg_pnew = jax.lax.stop_gradient(p_new)
+        if C == 0:
+            post = jnp.zeros((), dtype)
+        elif fast_free:
+            # Same conservative gate at the post-step positions: no AABB
+            # overlap (no margin — penetration is actual overlap) means
+            # zero penetration without running the depth kernels.
+            post = jax.lax.cond(
+                any_aabb_overlap(sg_pnew, params.verts, params.radius,
+                                 counts, pairs),
+                lambda: max_penetration(sg_pnew, params.verts,
+                                        params.radius, counts, pairs),
+                lambda: jnp.zeros((), dtype))
+        else:
+            post = max_penetration(sg_pnew, params.verts, params.radius,
+                                   counts, pairs)
+        return new_state, StepDiagnostics(
+            ncon, jax.lax.stop_gradient(post.astype(dtype)), prepen,
+            jnp.zeros((), jnp.int32))
 
     return step
 
@@ -390,9 +426,11 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     # dt rides a per-world axis: the in-jit penetration backtrack halves
     # dt independently per world, and a scalar dt broadcasts to (B,)
     # (bit-identical to the old scalar path).
-    assemble_base_b = jax.vmap(assemble.base, in_axes=(p_ax, 0, 0))
+    assemble_eq_b = jax.vmap(assemble.eq, in_axes=(p_ax, 0, 0))
+    assemble_con_b = jax.vmap(assemble.contacts, in_axes=(p_ax, 0, 0))
     assemble_cb_b = jax.vmap(assemble.contact_blocks,
                              in_axes=(p_ax, 0, 0, 0, 0, 0))
+    overlap_b = jax.vmap(assemble.any_overlap, in_axes=(p_ax, 0, 0))
     assemble_ps_b = jax.vmap(assemble_ps, in_axes=(p_ax, 0))
     dyn_kw = dict(solver_kw, gamma_rows=C, fric_pair=(config.fric_dirs == 2))
 
@@ -402,29 +440,68 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
         lambda p, verts, radius: max_penetration(p, verts, radius, counts,
                                                  pairs),
         in_axes=(0, p_ax, p_ax))
+    aabb_b = jax.vmap(
+        lambda p, verts, radius: any_aabb_overlap(p, verts, radius, counts,
+                                                  pairs),
+        in_axes=(0, p_ax, p_ax))
 
     fast_free = config.contact_free_fast_path
 
+    def solve_with_contacts(params, states, eq, dt_w, dtype):
+        """Solver branch: narrowphase + contact blocks + ONE batched LCP,
+        plus the contact-derived diagnostics fields."""
+        contacts, rmask = assemble_con_b(params, states, dt_w)
+        blocks = assemble_cb_b(params, states, contacts, eq, rmask, dt_w)
+        v = lcp_solve(**blocks, **dyn_kw)
+        ncon = jnp.sum(contacts.valid & (contacts.depth > 0),
+                       axis=-1).astype(jnp.int32)
+        return v, ncon, _max_depth(contacts, dtype)
+
     def step_tile_plain(params, states, dt):
         B = states.p.shape[0]
-        dt_w = jnp.broadcast_to(jnp.asarray(dt, states.p.dtype), (B,))
-        eq, contacts, rmask = assemble_base_b(params, states, dt_w)
-        build = ((lambda: assemble_cb_b(params, states, contacts, eq,
-                                        rmask, dt_w))
-                 if C else
-                 (lambda: assemble.empty_blocks(eq, states.p.dtype)))
-        v_new = _solve_or_free_lazy(eq, rmask, build, dyn_kw,
-                                    fast_free).reshape(B, N, 3)
+        dtype = states.p.dtype
+        dt_w = jnp.broadcast_to(jnp.asarray(dt, dtype), (B,))
+        eq = assemble_eq_b(params, states, dt_w)
+        if C and fast_free:
+            # Conservative AABB predicate (tile-level): False proves the
+            # whole tile contact-free, so the free branch skips the
+            # narrowphase, the Jacobian build AND the IPM.
+            v_flat, ncon, prepen = jax.lax.cond(
+                jnp.any(overlap_b(params, states, dt_w)),
+                lambda: solve_with_contacts(params, states, eq, dt_w,
+                                            dtype),
+                lambda: (_equality_solve(eq["Q"], eq["p"], eq["A"],
+                                         eq["b"]),
+                         jnp.zeros((B,), jnp.int32),
+                         jnp.zeros((B,), dtype)))
+        elif C:
+            v_flat, ncon, prepen = solve_with_contacts(params, states, eq,
+                                                       dt_w, dtype)
+        else:
+            v_flat = lcp_solve(**assemble.empty_blocks(eq, dtype),
+                               **dyn_kw)
+            ncon = jnp.zeros((B,), jnp.int32)
+            prepen = jnp.zeros((B,), dtype)
+        v_new = v_flat.reshape(B, N, 3)
         p_new = states.p + dt_w[:, None, None] * v_new
         if config.post_stabilization:
             ps = assemble_ps_b(params, p_new)
             p_new = p_new + _solve_or_free(
                 ps, solver_kw, fast_free).reshape(B, N, 3)
         new_states = WorldState(p=p_new, v=v_new, t=states.t + dt_w)
-        post = (pen_b(jax.lax.stop_gradient(p_new), params.verts,
-                      params.radius) if C
-                else jnp.zeros((B,), states.p.dtype))
-        return new_states, _diagnostics(contacts, post, C, states.p.dtype)
+        sg_pnew = jax.lax.stop_gradient(p_new)
+        if C == 0:
+            post = jnp.zeros((B,), dtype)
+        elif fast_free:
+            post = jax.lax.cond(
+                jnp.any(aabb_b(sg_pnew, params.verts, params.radius)),
+                lambda: pen_b(sg_pnew, params.verts, params.radius),
+                lambda: jnp.zeros((B,), dtype))
+        else:
+            post = pen_b(sg_pnew, params.verts, params.radius)
+        return new_states, StepDiagnostics(
+            ncon, jax.lax.stop_gradient(post.astype(dtype)), prepen,
+            jnp.zeros((B,), jnp.int32))
 
     max_h = config.max_dt_halvings
     tol = config.tol

@@ -623,3 +623,31 @@ def test_contact_free_fast_path_with_joints():
     # the held ground body does not move on the fast path
     np.testing.assert_allclose(np.asarray(outs[True].v[0, 1]),
                                np.zeros(3), atol=1e-9)
+
+
+def test_aabb_predicate_boundary_matches_solver():
+    """AABB-gated dispatch boundary case: two circles whose AABBs overlap
+    (diagonal offset < box reach) but that do NOT touch.  The conservative
+    predicate sends the tile down the solver branch, which must still
+    produce the exact equality solution and zero contact diagnostics —
+    identical to fast path off and to a truly-free configuration."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = circle_world(2, gravity=(0.0, G), restitution=0.5)
+    # centers 1.9 apart on EACH axis: AABB overlap (radius 1 boxes touch
+    # within 2.0 per axis) but center distance 2.69 > 2 -> no contact.
+    p0 = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.9, 1.9]])
+    states = WorldState(p=jnp.stack([p0] * 2),
+                        v=jnp.zeros((2, 2, 3)), t=jnp.zeros((2,)))
+    s_on = jax.jit(make_step_batched(
+        static, SimConfig(contact_free_fast_path=True)))
+    s_off = jax.jit(make_step_batched(
+        static, SimConfig(contact_free_fast_path=False)))
+    o_on, d_on = s_on(params, states, DT)
+    o_off, d_off = s_off(params, states, DT)
+    np.testing.assert_allclose(np.asarray(o_on.p), np.asarray(o_off.p),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(o_on.v), np.asarray(o_off.v),
+                               atol=1e-12)
+    assert int(jnp.max(d_on.n_contacts)) == 0
+    np.testing.assert_allclose(np.asarray(d_on.pre_penetration), 0.0)
