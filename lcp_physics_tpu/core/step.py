@@ -63,9 +63,10 @@ class StepDiagnostics(NamedTuple):
     # post > tol) does not burn futile re-solves.
     pre_penetration: jax.Array
     # dt-halvings taken by the in-jit backtrack (0 when the flag is off or
-    # the full step was accepted first try).  ``halvings ==
-    # max_dt_halvings`` with ``max_penetration > tol`` means the budget
-    # was exhausted (the host path warns; the jitted path reports here).
+    # the full step was accepted first try).  ``halvings >
+    # max_dt_halvings`` (the value max_dt_halvings + 1) means the budget
+    # was exhausted and the shallowest-penetration sub-step was taken
+    # (the host path warns; the jitted path reports here).
     # NOTE: the default is a NumPy scalar, NOT jnp.zeros — a jnp default
     # would initialize the JAX backend at import time as a side effect of
     # ``import lcp_physics_tpu``, silently pinning the platform before
@@ -547,15 +548,18 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
         dt_cur, accepted, best_dt, _, _ = jax.lax.while_loop(
             cond, body, init)
         # Budget exhausted -> accept the shallowest-penetration sub-step;
-        # halvings then reports max_dt_halvings (NOT the best sub-step's
-        # halving count) so the documented exhaustion signal
-        # ``halvings == max_dt_halvings and max_penetration > tol``
-        # actually fires (the host loop warns; the jitted path reports).
+        # halvings then reports max_dt_halvings + 1 — an out-of-range
+        # value no legitimately accepted world can carry (a world CAN be
+        # accepted at exactly max_dt_halvings halvings, so max_h alone
+        # would be ambiguous).  ``halvings > max_dt_halvings`` IS the
+        # exhaustion signal (the host loop warns; the jitted path
+        # reports here).
         dt_acc = jnp.where(accepted, dt_cur, best_dt)
         ratio = jnp.where(dt_acc > 0, dt_full / jnp.where(dt_acc > 0,
                                                           dt_acc, 1.0), 1.0)
         halvings = jnp.where(
-            accepted, jnp.round(jnp.log2(ratio)).astype(jnp.int32), max_h)
+            accepted, jnp.round(jnp.log2(ratio)).astype(jnp.int32),
+            max_h + 1)
         # Worlds that accepted the FULL step get the caller's
         # differentiable dt back (d/d(dt) flows exactly as in the plain
         # step); a halved dt is a data-dependent choice and stays

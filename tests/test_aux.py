@@ -216,7 +216,9 @@ def test_import_does_not_initialize_jax_backend():
         "raise SystemExit(1 if xb._backends else 0)\n"
     )
     proc = subprocess.run([sys.executable, "-c", code],
-                          capture_output=True, text=True, cwd="/root/repo")
+                          capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
     assert proc.returncode == 0, (
         f"importing lcp_physics_tpu initialized a JAX backend\n"
         f"{proc.stderr[-500:]}")
