@@ -654,3 +654,32 @@ def test_aabb_predicate_boundary_matches_solver():
                                atol=1e-12)
     assert int(jnp.max(d_on.n_contacts)) == 0
     np.testing.assert_allclose(np.asarray(d_on.pre_penetration), 0.0)
+
+
+def test_penetration_backtrack_hulls():
+    """In-jit backtrack with the SAT/clipping narrowphase: a fast unit
+    box that would tunnel deep into the ground in one full step gets a
+    halved dt (hull-hull contacts flow through the same conservative
+    AABB gate and diagnostics as circles)."""
+    from lcp_physics_tpu.core import make_step_batched
+
+    static, params = box_ground_world(body_kind="box", gravity=(0.0, G),
+                                      restitution=0.0)
+    tol = 1e-6
+    cfg_off = SimConfig(speculative=False, tol=tol)
+    cfg_on = SimConfig(speculative=False, tol=tol,
+                       penetration_backtrack=True, max_dt_halvings=8)
+    p0 = np.array([[[0., 0., -2.4], [0., 0., 0.]]])
+    v0 = np.array([[[0., 0., 12.0], [0., 0., 0.]]])
+    states = WorldState(p=jnp.asarray(p0), v=jnp.asarray(v0),
+                        t=jnp.zeros((1,)))
+    dt = 0.05
+    _, d_off = jax.jit(make_step_batched(static, cfg_off))(params, states,
+                                                           dt)
+    out_on, d_on = jax.jit(make_step_batched(static, cfg_on))(params,
+                                                              states, dt)
+    assert float(d_off.max_penetration[0]) > 0.05      # plain step sinks
+    fresh = float(d_on.max_penetration[0] - d_on.pre_penetration[0])
+    assert (float(d_on.max_penetration[0]) <= tol or fresh <= tol)
+    assert 1 <= int(d_on.halvings[0]) <= 8
+    assert float(out_on.t[0]) < dt - 1e-9
