@@ -683,3 +683,58 @@ def test_penetration_backtrack_hulls():
     assert (float(d_on.max_penetration[0]) <= tol or fresh <= tol)
     assert 1 <= int(d_on.halvings[0]) <= 8
     assert float(out_on.t[0]) < dt - 1e-9
+
+
+def test_fuzz_random_scenes_stay_finite_and_bounded():
+    """Property fuzz over randomized mixed scenes (circles + boxes,
+    random masses/restitutions/frictions/velocities): batched rollouts
+    must stay finite, never deep-penetrate (speculative contacts bound
+    fresh penetration), and conserve linear momentum in gravity-free
+    worlds (internal contact impulses are equal-and-opposite)."""
+    from lcp_physics_tpu.core import make_step_batched
+    from lcp_physics_tpu.parallel import tile_state
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = int(rng.integers(4, 9))
+        counts = [1 if rng.random() < 0.5 else 4 for _ in range(n)]
+        verts = np.zeros((n, 4, 2))
+        radius = np.zeros(n)
+        for k, c in enumerate(counts):
+            if c == 1:
+                radius[k] = rng.uniform(0.5, 1.2)
+            else:
+                h = rng.uniform(0.5, 1.2, 2)
+                verts[k] = [[-h[0], -h[1]], [h[0], -h[1]],
+                            [h[0], h[1]], [-h[0], h[1]]]
+        static = make_scene_static(counts, c_max=32)
+        gravity = (0.0, 0.0) if trial == 0 else (0.0, G)
+        params = default_params(
+            static, verts=verts, radius=radius,
+            mass=rng.uniform(0.5, 3.0, n),
+            restitution=rng.uniform(0.0, 0.9, n),
+            fric_coeff=rng.uniform(0.0, 1.0, n), gravity=gravity)
+        # random cluster, bodies within a few radii of each other
+        pos = rng.uniform(0.0, 3.0 * n, (n, 2))
+        p0 = np.concatenate([rng.uniform(-1, 1, (n, 1)), pos], -1)
+        v0 = np.concatenate([rng.normal(0, 1, (n, 1)),
+                             rng.normal(0, 3, (n, 2))], -1)
+        state = WorldState(p=jnp.asarray(p0), v=jnp.asarray(v0),
+                           t=jnp.zeros(()))
+        states = tile_state(state, 4)
+        bstep = jax.jit(make_step_batched(static, SimConfig()))
+        s, max_post = states, 0.0
+        for _ in range(40):
+            s, diag = bstep(params, s, 0.01)
+            max_post = max(max_post, float(jnp.max(diag.max_penetration)))
+        assert bool(jnp.all(jnp.isfinite(s.p))), f"trial {trial}: NaN p"
+        assert bool(jnp.all(jnp.isfinite(s.v))), f"trial {trial}: NaN v"
+        # speculative contacts keep fresh penetration ~one-step-bounded
+        assert max_post < 0.3, f"trial {trial}: penetration {max_post}"
+        if gravity == (0.0, 0.0):
+            m = np.asarray(params.mass)
+            mom0 = (m[:, None] * np.asarray(state.v[:, 1:3])).sum(0)
+            mom1 = (m[None, :, None]
+                    * np.asarray(s.v[:, :, 1:3])).sum(1)
+            np.testing.assert_allclose(
+                mom1, np.broadcast_to(mom0, mom1.shape), rtol=0, atol=1e-6)
