@@ -249,6 +249,36 @@ def bench_fwd_bwd(B=64, n_steps=20):
     return out
 
 
+def bench_fwd_bwd_dense(B=256, n_steps=8):
+    """Contact-rich TRAINING step: value_and_grad through a dense
+    64-body rollout (the flagship differentiable workload — every step
+    runs the full IPM forward and the implicit-KKT transposed solve
+    backward).  Device-side timing."""
+    from lcp_physics_tpu.parallel import make_batched_step
+    from lcp_physics_tpu.utils import SimConfig
+
+    static, params, states = build_world_scene(B, dense=True)
+    bstep = make_batched_step(static, SimConfig(max_iter=12,
+                                                solver_eps=1e-5))
+
+    def loss(params, states):
+        def body(s, _):
+            s2, _ = bstep(params, s, 0.01)
+            return s2, ()
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return jnp.mean(out.p ** 2)
+
+    def fb(params, states):
+        v, g = jax.value_and_grad(loss)(params, states)
+        return v, g.mass
+
+    sec = time_chained(fb, params, states, reps=20)
+    log(f"[bench] fwd+bwd DENSE (B={B}, 64 bodies, {n_steps} steps): "
+        f"{sec * 1e3:.1f} ms device-side -> "
+        f"{B * n_steps / sec:,.0f} grad-world-steps/sec")
+    return sec
+
+
 def bench_scale_up(B=4096, n_steps=8, batch_tile=1024):
     """BASELINE stretch config (configs[4]): 4096 x 64-body worlds on one
     chip.  batch_tile segments the solve over world tiles so peak HBM
@@ -303,6 +333,7 @@ def main():
         bench_world_steps(dense=True, hulls=True)
         bench_world_steps(dense=True, hulls=True, hull_budget=256)
         bench_fwd_bwd()
+        bench_fwd_bwd_dense()
         if "--scale" in _sys.argv:
             bench_scale_up()
     except Exception as e:  # secondary metrics must not kill the primary
