@@ -142,7 +142,12 @@ class SimConfig:
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is
     # what lets a single chip run the 4096 x 64-body stretch config.
-    # 0 = one fused batch (fastest while it fits).
+    # 0 = one fused batch (fastest while it fits).  Also the
+    # contact-free fast path's GRANULARITY: the AABB dispatch is
+    # per-tile, so on mixed populations (some worlds colliding, most
+    # free) a tile size near the active-cluster size lets free tiles
+    # skip narrowphase+solver entirely — measured 5.75x on a
+    # 32-dense/224-loose batch (PERF.md round-3).
     batch_tile: int = 0
     # Hull-hull narrowphase pair budget: if > 0 and the static hull pair
     # list is longer, only this many pairs — ranked by AABB-overlap
