@@ -331,6 +331,7 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
                      refine=config.solver_refine,
                      not_improved_lim=config.solver_stall_lim,
                      factor_precision=config.solver_factor_precision,
+                     bwd_precision=config.solver_bwd_precision,
                      gondzio=config.solver_gondzio)
     # trailing C inequality rows are the friction-cone slack block
     # (zero G rows, diagonal Schur block) -> analytic elimination; the
@@ -423,6 +424,7 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                      refine=config.solver_refine,
                      not_improved_lim=config.solver_stall_lim,
                      factor_precision=config.solver_factor_precision,
+                     bwd_precision=config.solver_bwd_precision,
                      gondzio=config.solver_gondzio)
     # dt rides a per-world axis: the in-jit penetration backtrack halves
     # dt independently per world, and a scalar dt broadcasts to (B,)

@@ -45,12 +45,30 @@ from lcp_physics_tpu.lcp.pdipm import (PdipmSolution, _dtype_consts,
                                        resolve_backend, solve_eq_kkt)
 from lcp_physics_tpu.lcp.util import bger
 
+# Default matmul precision for the backward one-shot transposed KKT solve
+# when the caller did not pick one (lcp_solve(bwd_precision=None)).  The
+# backward is a single solve with no outer loop to correct it, so it cannot
+# ride the forward's fast-factor mixed-precision scheme — but on TPU
+# 'highest' is a 6-pass bf16 emulation while 'high' (3-pass) already
+# reaches ~f32 accuracy, far below the default profile's own solution
+# accuracy.  Swept empirically (PERF.md round-3 "backward precision").
+BWD_MATMUL_PRECISION = "highest"
+
+
+def _bwd_precision_ctx(factor_precision, bwd_precision=None):
+    if factor_precision in ("highest", "float32"):
+        # An exact forward profile gets gradients of matching accuracy.
+        return jax.default_matmul_precision("highest")
+    return jax.default_matmul_precision(bwd_precision
+                                        or BWD_MATMUL_PRECISION
+                                        or "highest")
+
 
 @partial(jax.custom_vjp,
-         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
                     diag_q, gamma_rows, refine, not_improved_lim,
-                    factor_precision, fric_pair, gondzio):
+                    factor_precision, fric_pair, gondzio, bwd_precision):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
@@ -62,7 +80,7 @@ def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
              gamma_rows, refine, not_improved_lim, factor_precision,
-             fric_pair, gondzio):
+             fric_pair, gondzio, bwd_precision):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
@@ -75,15 +93,15 @@ def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
              not_improved_lim, factor_precision, fric_pair, gondzio,
-             residuals, g):
-    # The backward one-shot solve always traces its matmuls under
-    # 'highest'; factor_precision additionally selects the precision-
-    # exact scalar-GJ factor kernel (ambient precision alone does not
-    # fix the blocked kernel's rank-16 explicit pivot inverses —
+             bwd_precision, residuals, g):
+    # The backward one-shot solve traces its matmuls under
+    # _bwd_precision_ctx ('highest' unless bwd_precision relaxes the
+    # default profile); factor_precision additionally selects the
+    # precision-exact scalar-GJ factor kernel (ambient precision alone
+    # does not fix the blocked kernel's rank-16 explicit pivot inverses —
     # PERF.md round-3), so a 'highest' forward profile gets gradients
     # of matching accuracy.
-    from lcp_physics_tpu.lcp.pdipm import _precision_ctx
-    with _precision_ctx():
+    with _bwd_precision_ctx(factor_precision, bwd_precision):
         return _lcp_bwd_impl(max_iter, tol, backend, diag_q, gamma_rows,
                              refine, residuals, g, fric_pair,
                              factor_precision)
@@ -214,7 +232,7 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
               not_improved_lim=3, factor_precision=None, fric_pair=False,
-              gondzio=0):
+              gondzio=0, bwd_precision=None):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -228,6 +246,11 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     dense (n, n)/(B, n, n); None = infer from shape, erroring on the
     ambiguous batched B == n case.  Gradients flow to all seven inputs via
     the implicit KKT backward.
+
+    ``bwd_precision`` sets the matmul precision of that backward solve
+    (None = module default ``BWD_MATMUL_PRECISION``); ignored when
+    ``factor_precision`` requests an exact forward, which always gets an
+    exact ('highest') backward.
     """
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
                                                q_is_diag)
@@ -236,7 +259,7 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
                            not_improved_lim, factor_precision, fric_pair,
-                           gondzio)
+                           gondzio, bwd_precision)
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,

@@ -114,6 +114,15 @@ class SimConfig:
     # default (4e-2) < solver_refine=1 (1.6e-3, -17%) <
     # factor_precision='highest' (1e-4, -52%).  No effect at f64.
     solver_factor_precision: str | None = None
+    # Matmul precision of the implicit-gradient transposed KKT solve (the
+    # backward pass).  None = the lcp module default (BWD_MATMUL_PRECISION
+    # = 'highest', 6-pass bf16 on TPU — the conservative one-shot-solve
+    # choice); 'high' (3-pass, ~f32) is measurably cheaper on dense
+    # grad-rollouts with gradient error far below the default profile's
+    # own solution accuracy (PERF.md round-3 "backward precision").
+    # Ignored when solver_factor_precision requests an exact forward,
+    # which always gets an exact backward.
+    solver_bwd_precision: str | None = None
     # Reference notImprovedLim: per-instance IPM stall exit — freeze an
     # instance at its best iterate after this many consecutive
     # non-improving iterations (0 = off).  At f32, contact-rich systems
