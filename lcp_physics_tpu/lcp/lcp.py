@@ -51,7 +51,7 @@ from lcp_physics_tpu.lcp.util import bger
 # ride the forward's fast-factor mixed-precision scheme — but on TPU
 # 'highest' is a 6-pass bf16 emulation while 'high' (3-pass) already
 # reaches ~f32 accuracy, far below the default profile's own solution
-# accuracy.  Swept empirically (PERF.md round-3 "backward precision").
+# accuracy.  Measured sweep: PERF.md "backward precision sweep" (round 4).
 BWD_MATMUL_PRECISION = "highest"
 
 
@@ -60,40 +60,40 @@ def _bwd_precision_ctx(factor_precision, bwd_precision=None):
         # An exact forward profile gets gradients of matching accuracy.
         return jax.default_matmul_precision("highest")
     return jax.default_matmul_precision(bwd_precision
-                                        or BWD_MATMUL_PRECISION
-                                        or "highest")
+                                        or BWD_MATMUL_PRECISION)
 
 
 @partial(jax.custom_vjp,
-         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
                     diag_q, gamma_rows, refine, not_improved_lim,
-                    factor_precision, fric_pair, gondzio, bwd_precision):
+                    factor_precision, fric_pair, gondzio, bwd_precision,
+                    verbose):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair, gondzio=gondzio)
+                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
              gamma_rows, refine, not_improved_lim, factor_precision,
-             fric_pair, gondzio, bwd_precision):
+             fric_pair, gondzio, bwd_precision, verbose):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair, gondzio=gondzio)
+                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
              not_improved_lim, factor_precision, fric_pair, gondzio,
-             bwd_precision, residuals, g):
+             bwd_precision, verbose, residuals, g):
     # The backward one-shot solve traces its matmuls under
     # _bwd_precision_ctx ('highest' unless bwd_precision relaxes the
     # default profile); factor_precision additionally selects the
@@ -232,7 +232,7 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
               not_improved_lim=3, factor_precision=None, fric_pair=False,
-              gondzio=0, bwd_precision=None):
+              gondzio=0, bwd_precision=None, verbose=False):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -251,6 +251,11 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     (None = module default ``BWD_MATMUL_PRECISION``); ignored when
     ``factor_precision`` requests an exact forward, which always gets an
     exact ('highest') backward.
+
+    ``verbose`` prints the per-iteration residual dump (the reference
+    ``LCPFunction(verbose=)`` behavior, via ``jax.debug.print``).  It
+    forces the UNFUSED solver loop — the fused whole-IPM Pallas kernel
+    has no print channel — so expect lower throughput while it is on.
     """
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
                                                q_is_diag)
@@ -259,7 +264,7 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
                            not_improved_lim, factor_precision, fric_pair,
-                           gondzio, bwd_precision)
+                           gondzio, bwd_precision, bool(verbose))
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
@@ -267,7 +272,8 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    gamma_rows=0, q_is_diag=None,
                    row_mask=None, refine=0,
                    not_improved_lim=3, factor_precision=None,
-                   fric_pair=False, gondzio=0) -> PdipmSolution:
+                   fric_pair=False, gondzio=0,
+                   verbose=False) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -280,7 +286,8 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                        gamma_rows=gamma_rows, row_mask=row_mask,
                        refine=refine, not_improved_lim=not_improved_lim,
                        factor_precision=factor_precision,
-                       fric_pair=fric_pair, gondzio=gondzio)
+                       fric_pair=fric_pair, gondzio=gondzio,
+                       verbose=verbose)
 
 
 class LCPFunction:
@@ -309,5 +316,6 @@ class LCPFunction:
         self.zhats = lcp_solve(Q, p, G, h, A, b, F,
                                max_iter=self.maxIter, tol=self.eps,
                                backend=self.backend,
-                               not_improved_lim=self.notImprovedLim)
+                               not_improved_lim=self.notImprovedLim,
+                               verbose=bool(self.verbose))
         return self.zhats

@@ -89,18 +89,43 @@ def make_sharded_step(static, mesh: Mesh, config: SimConfig = SimConfig(),
 
 
 def batched_rollout(static, config, params, states, dt, n_steps,
-                    params_batched=False, remat=False, mesh: Mesh = None):
-    """Scan a batch of worlds ``n_steps`` forward; returns (final, traj).
+                    params_batched=False, remat=False, mesh: Mesh = None,
+                    with_diagnostics=False):
+    """Scan a batch of worlds ``n_steps`` forward; returns (final, traj),
+    or (final, traj, :class:`core.step.RolloutDiagnostics`) with
+    ``with_diagnostics=True`` — the per-step diagnostics reduced over
+    time (per world: max penetration, max backtrack halvings with its
+    budget-exhaustion sentinel, contact totals).
 
     With ``mesh`` given, inputs are placed (batch sharded / params
     replicated) before the jitted scan so XLA partitions the whole rollout.
     """
+    from lcp_physics_tpu.core.step import (_rollout_diag_fold,
+                                           _rollout_diag_init)
+
     bstep = make_batched_step(static, config, params_batched)
 
     if mesh is not None:
         states = shard_worlds(states, mesh)
         params = (shard_worlds(params, mesh) if params_batched
                   else replicate(params, mesh))
+
+    if with_diagnostics:
+        def body(carry, _):
+            s, rd = carry
+            s2, d = bstep(params, s, dt)
+            return (s2, _rollout_diag_fold(rd, d)), s2
+        if remat:
+            body = jax.checkpoint(body)
+
+        @jax.jit
+        def scan_d(states):
+            (final, rdiag), traj = jax.lax.scan(
+                body, (states, _rollout_diag_init(states)), None,
+                length=n_steps)
+            return final, traj, rdiag
+
+        return scan_d(states)
 
     def body(s, _):
         s2, _ = bstep(params, s, dt)

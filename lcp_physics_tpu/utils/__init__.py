@@ -141,12 +141,16 @@ class SimConfig:
     solver_stall_lim: int = 1
     # Gondzio multiple-centrality-corrector rounds per IPM iteration
     # (0 = off, reference Mehrotra semantics).  Each round reuses the
-    # iteration's factorization for one extra cheap solve that recentering
+    # iteration's factorization for one extra cheap solve that recenters
     # the trial point, trading solves for iterations.  Pays off when the
     # factor dominates (large contact systems) and solves genuinely
     # converge — pair with solver_factor_precision='highest' for the
     # accurate profile; measured effect on the fast bf16 profile is
     # neutral (solves stall at the precision floor regardless).
+    # NOTE: any value > 0 DISABLES the fused whole-IPM Pallas kernel
+    # (corrector rounds are a packed-loop feature), so small scenes that
+    # normally ride the fused kernel drop to the unfused loop — on those,
+    # expect a slowdown regardless of what the correctors save.
     solver_gondzio: int = 0
     # Segment the batched step over world tiles of this size (lax.map):
     # peak HBM scales with the tile instead of the full batch, which is

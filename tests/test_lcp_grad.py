@@ -86,6 +86,31 @@ def test_grads_batched_vmap():
     check_grads(loss, stacked, **GRAD_KW)
 
 
+def test_grads_bwd_precision_parity():
+    """bwd_precision only selects a matmul precision for the backward
+    one-shot solve: at f64 on CPU every setting must give the same
+    gradients (ADVICE r3), and an exact-forward profile
+    (factor_precision='highest') must override a relaxed bwd_precision
+    with the exact backward."""
+    rng = np.random.default_rng(17)
+    Q, p, G, h, A, b, F = random_qp(rng, 6, 4, 2, with_F=True)
+
+    def grad_of(**kw):
+        return jax.grad(lambda p: (lcp_solve(Q, p, G, h, A, b, F,
+                                             **SOLVE_KW, **kw) ** 2).sum())(p)
+
+    g_ref = grad_of()
+    for kw in (dict(bwd_precision="high"),
+               dict(bwd_precision="highest"),
+               dict(factor_precision="highest", bwd_precision="high")):
+        np.testing.assert_allclose(grad_of(**kw), g_ref, rtol=1e-9,
+                                   err_msg=f"{kw}")
+    # and the relaxed profile still passes finite differences
+    fn = lambda *xs: (lcp_solve(*xs, **SOLVE_KW,
+                                bwd_precision="high") ** 2).sum()
+    check_grads(fn, (Q, p, G, h, A, b, F), **GRAD_KW)
+
+
 def test_grad_through_jit():
     rng = np.random.default_rng(16)
     Q, p, G, h, A, b, F = random_qp(rng, 5, 3, 1)
