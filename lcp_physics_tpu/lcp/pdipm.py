@@ -89,6 +89,20 @@ SOLVER_MATMUL_PRECISION = "highest"
 # experiment never reaching these trace-time-ambient dots.
 FWD_FACTOR_PRECISION = None
 
+# Explicit-inverse solve mode for the lazy blocked factor (round 4;
+# ops/linalg.py ``inv_factor_blocks``): on the flagship rotated path the
+# factor is assembled into a FULL explicit inverse (2x2 block-Schur
+# identity over the lazy 128-panel grid — 3 extra MXU matmuls vs blocked
+# LU), so each of the two KKT solves per IPM iteration is ONE batched
+# matvec instead of 6 chained block matvecs + concats, killing the
+# ~0.27 ms/solve XLA op-latency tax the round-3 roofline measured on
+# top of the HBM floor.  INV_REFINE structured refinement steps per
+# solve (residual from P2 + diagonal + band, S2 never materialized)
+# recover substitution-class accuracy, mirroring the fused small-K
+# kernel's explicit-inverse + refinement scheme (PERF.md round 3).
+FWD_INV_SOLVE = True
+INV_REFINE = 1
+
 
 def _precision_ctx():
     return jax.default_matmul_precision(SOLVER_MATMUL_PRECISION)
@@ -180,8 +194,10 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             K = _assemble_kkt(Q, G, A, F, d_inv, reg)
             with _fwd_factor_ctx(fwd_precision):
                 fac = _factor(K, be, store_dt, exact=exact_fwd)
-            return lambda rhs, trans=0: _solve_refined(fac, K, rhs, be,
-                                                       trans, refine)
+            # r1_zero accepted for interface parity (no transform to skip
+            # on the dense path)
+            return lambda rhs, trans=0, r1_zero=False: _solve_refined(
+                fac, K, rhs, be, trans, refine)
 
         return factor_dense
 
@@ -207,10 +223,13 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
             with _fwd_factor_ctx(fwd_precision):
                 fac = _factor(S, be, store_dt, exact=exact_fwd)
 
-            def solve(rhs, trans=0):
+            def solve(rhs, trans=0, r1_zero=False):
                 r1, r2 = rhs[..., :n], rhs[..., n:]
-                with _precision_ctx():  # rhs/solution transforms: exact
-                    t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
+                if r1_zero:
+                    t = r2
+                else:
+                    with _precision_ctx():  # rhs/solution transform: exact
+                        t = r2 - jnp.einsum("bmn,bn->bm", Ghat, qinv * r1)
                 # substitutions stay at default precision (same mixed-
                 # precision scheme as factor_schur_gamma; the refine
                 # residual inside _solve_refined raises its own context)
@@ -427,12 +446,15 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         def solve_red(rhs_red, trans):
             return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
 
-        def solve(rhs, trans=0):
+        def solve(rhs, trans=0, r1_zero=False):
             r1, r2 = rhs[..., :n], rhs[..., n:]
             rk = jnp.concatenate([r2[..., :mg], r2[..., m:]], axis=-1)
             rg = r2[..., mg:m]
-            with _precision_ctx():  # rhs/solution transforms: exact
-                tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
+            if r1_zero:
+                tk = rk
+            else:
+                with _precision_ctx():  # rhs/solution transforms: exact
+                    tk = rk - jnp.einsum("bkn,bn->bk", Ghat_k, qinv * r1)
             tg = rg                                  # gamma G rows are zero
             if trans == 0:
                 rhs_red = tk + skg_apply(Dginv * tg)
@@ -494,6 +516,22 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
     diag_np = rowK == colK
     band_vc_np = (rowK - C_ == colK) & (colK < C_)   # (v-row, c-col) diag
 
+    def make_apply_S2(dmain, bn):
+        """Apply S2 (or S2^T) from its STRUCTURED form — the refinement
+        residual for the explicit-inverse solve mode, never materializing
+        S2: one P2 matvec (P2 is symmetric) + the diagonal + the (v, c)
+        band."""
+        def apply(x, trans=0):
+            with _precision_ctx():     # accurate residual is the point
+                y = -jnp.einsum("bij,bj->bi", P2, x)
+            y = y - dmain * x
+            if trans == 0:
+                y = y.at[..., C_:2 * C_].add(bn * x[..., :C_])
+            else:
+                y = y.at[..., :C_].add(bn * x[..., C_:2 * C_])
+            return y
+        return apply
+
     def rot_scalars(d_inv, Dginv):
         cn = v_ * mu_v * Dginv
         cf = -v_ * Dginv
@@ -519,65 +557,94 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
                              wide[..., None, :], 0.0)
 
     # Lazy block-grid assembly (mirrors the plain gamma path): S2 is never
-    # materialized on the blocked pallas path at refine == 0.
-    lazy_ok = False
-    if refine == 0:
-        from lcp_physics_tpu.ops.linalg import (MAX_LANE_N, PANEL,
-                                                _ru as _ru_)
+    # materialized on the blocked pallas path.  Solve strategy on that
+    # path: the EXPLICIT-INVERSE mode (ops/linalg.py inv_factor_blocks)
+    # whenever the system fits INV_MAX_PANELS — each KKT solve is then
+    # ONE batched matvec plus INV_REFINE structured-refinement steps
+    # (residual from P2/diag/band, never a materialized S2), which also
+    # lets ``refine > 0`` ride the lazy path; blocked LU + substitution
+    # otherwise.  refine > 0 without inverse mode still needs dense S2.
+    from lcp_physics_tpu.ops.linalg import (MAX_LANE_N, PANEL,
+                                            _ru as _ru_, inv_supported)
 
-        lazy_ok = (be == "pallas" and _ru_(K2, 8) > MAX_LANE_N)
-        if lazy_ok:
-            K_pad = _ru_(K2, PANEL)
-            negP_pad = jnp.zeros((B, K_pad, K_pad), dt)
-            negP_pad = negP_pad.at[:, :K2, :K2].set(-P2)
-            if K_pad > K2:
-                idxp = jnp.arange(K2, K_pad)
-                negP_pad = negP_pad.at[:, idxp, idxp].set(1.0)
-            band_pad = _np.zeros((K_pad, K_pad), bool)
-            band_pad[:K2, :K2] = band_vc_np
+    blocked_ok = (be == "pallas" and _ru_(K2, 8) > MAX_LANE_N)
+    inv_ok = blocked_ok and FWD_INV_SOLVE and inv_supported(K2)
+    lazy_ok = blocked_ok and (refine == 0 or inv_ok)
+    if lazy_ok:
+        K_pad = _ru_(K2, PANEL)
+        negP_pad = jnp.zeros((B, K_pad, K_pad), dt)
+        negP_pad = negP_pad.at[:, :K2, :K2].set(-P2)
+        if K_pad > K2:
+            idxp = jnp.arange(K2, K_pad)
+            negP_pad = negP_pad.at[:, idxp, idxp].set(1.0)
+        band_pad = _np.zeros((K_pad, K_pad), bool)
+        band_pad[:K2, :K2] = band_vc_np
 
-            def make_get_block(dmain, bn):
-                bn_wide = jnp.zeros((B, K2), dt).at[:, :C_].set(bn)
+        def make_get_block(dmain, bn):
+            bn_wide = jnp.zeros((B, K2), dt).at[:, :C_].set(bn)
 
-                def get_block(t, s):
-                    r0, c0 = t * PANEL, s * PANEL
-                    val = negP_pad[:, r0:r0 + PANEL, c0:c0 + PANEL]
-                    cs = slice(c0, min(c0 + PANEL, K2))
-                    w = cs.stop - cs.start
-                    if t == s and w > 0:
-                        dsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
-                            dmain[..., cs])
-                        eye_p = jnp.eye(PANEL, dtype=dt)
-                        val = val - dsub[..., None, :] * eye_p
-                    sub = band_pad[r0:r0 + PANEL, c0:c0 + PANEL]
-                    if sub.any():
-                        wsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
-                            bn_wide[..., cs])
-                        val = val + jnp.where(jnp.asarray(sub),
-                                              wsub[..., None, :], 0.0)
-                    return val
-                return get_block
+            def get_block(t, s):
+                r0, c0 = t * PANEL, s * PANEL
+                val = negP_pad[:, r0:r0 + PANEL, c0:c0 + PANEL]
+                cs = slice(c0, min(c0 + PANEL, K2))
+                w = cs.stop - cs.start
+                if t == s and w > 0:
+                    dsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                        dmain[..., cs])
+                    eye_p = jnp.eye(PANEL, dtype=dt)
+                    val = val - dsub[..., None, :] * eye_p
+                sub = band_pad[r0:r0 + PANEL, c0:c0 + PANEL]
+                if sub.any():
+                    wsub = jnp.zeros((B, PANEL), dt).at[:, :w].set(
+                        bn_wide[..., cs])
+                    val = val + jnp.where(jnp.asarray(sub),
+                                          wsub[..., None, :], 0.0)
+                return val
+            return get_block
 
     def factor_rot(d_inv):
         Dg = d_inv[..., mg:] + reg                   # -S_gg diagonal
         Dginv = 1.0 / Dg
         cn, delta, g_u, dmain, bn = rot_scalars(d_inv, Dginv)
-        if lazy_ok:
+        if lazy_ok and inv_ok:
+            from lcp_physics_tpu.ops.linalg import (inv_factor_blocks,
+                                                    plu_solve)
+
+            with _fwd_factor_ctx(fwd_precision):
+                fac = inv_factor_blocks(make_get_block(dmain, bn), B, K2,
+                                        dt, store_dt, exact=exact_fwd)
+            apply_S2 = make_apply_S2(dmain, bn)
+            n_ref = INV_REFINE + refine
+
+            def solve_red(rhs_red, trans):
+                x = plu_solve(fac, rhs_red, trans)
+                for _ in range(n_ref):
+                    r = rhs_red - apply_S2(x, trans)
+                    x = x + plu_solve(fac, r, trans)
+                return x
+        elif lazy_ok:
             from lcp_physics_tpu.ops.linalg import plu_factor_blocks
 
             with _fwd_factor_ctx(fwd_precision):
                 fac = plu_factor_blocks(make_get_block(dmain, bn), B, K2,
                                         dt, store_dt, exact=exact_fwd)
             S2 = None
+
+            def solve_red(rhs_red, trans):
+                return _solve_refined(fac, S2, rhs_red, be, trans, refine)
         else:
             S2 = assemble_S2(dmain, bn)
             with _fwd_factor_ctx(fwd_precision):
                 fac = _factor(S2, be, store_dt, exact=exact_fwd)
 
-        def solve_red(rhs_red, trans):
-            return _solve_refined(fac, S2, rhs_red, be, trans, refine)
+            def solve_red(rhs_red, trans):
+                return _solve_refined(fac, S2, rhs_red, be, trans, refine)
 
-        def solve(rhs, trans=0):
+        def solve(rhs, trans=0, r1_zero=False):
+            # ``r1_zero``: caller guarantees the r1 (z-row) block is
+            # structurally zero (the Mehrotra corrector-DELTA and gondzio
+            # rhs), so the Ghat2 rhs transform — a full read of the
+            # (B, K2, n) tensor — is skipped outright.
             r1, r2 = rhs[..., :n], rhs[..., n:]
             r_c = r2[..., :C_]
             r_f1 = r2[..., C_:2 * C_]
@@ -586,11 +653,14 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
             r_q = r2[..., m:]
             ru = (r_f1 + r_f2) / sq2
             rv = (r_f1 - r_f2) / sq2
-            with _precision_ctx():                   # rhs transform: exact
-                y = jnp.einsum("bkn,bn->bk", Ghat2, qinv * r1)
-            t_c = r_c - y[..., :C_]
-            t_v = rv - y[..., C_:2 * C_]
-            t_q = r_q - y[..., 2 * C_:]
+            if r1_zero:
+                t_c, t_v, t_q = r_c, rv, r_q
+            else:
+                with _precision_ctx():               # rhs transform: exact
+                    y = jnp.einsum("bkn,bn->bk", Ghat2, qinv * r1)
+                t_c = r_c - y[..., :C_]
+                t_v = rv - y[..., C_:2 * C_]
+                t_q = r_q - y[..., 2 * C_:]
             tD = Dginv * rg
             if trans == 0:
                 # gamma rhs correction (Skg): friction rows get -v*tD
@@ -926,8 +996,12 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     fuse_rot = False
     # gondzio correctors are a packed-loop feature; the fused kernel
     # targets small systems where iterations are solve-bound anyway.
+    # verbose likewise forces the unfused loop: the kernel has no
+    # per-iteration print channel (the reference's verbose dump is a
+    # debugging surface, not a hot path).
     if (cone and q_diag is not None and gamma_rows == F.C
-            and refine == 0 and max_iter > 0 and gondzio == 0):
+            and refine == 0 and max_iter > 0 and gondzio == 0
+            and not verbose):
         from lcp_physics_tpu.ops.ipm import fused_supported
 
         # Prefer the friction-pair ROTATED kernel (K = 2C + q) when the
@@ -1097,10 +1171,16 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         sigma = jnp.clip(mu_aff / jnp.maximum(mu, consts["tiny"]),
                          0.0, 1.0) ** 3
 
-        # Corrector (combined Mehrotra) direction, same factorization.
+        # Corrector (combined Mehrotra) direction, same factorization —
+        # solved as predictor + DELTA: the KKT solve is linear in the rhs
+        # and the corrector rhs differs from the affine one only in the
+        # complementarity correction on the rz block, so the delta system
+        # carries a structurally-zero r1 and skips the Ghat rhs transform
+        # (one full read of the (B, K, n) tensor per iteration).
         r4c = r4 + ds_a * dlam_a - (sigma * mu)[..., None]
-        rhs_c = (-r).at[..., n:n + m].add(r4c / lam_safe)
-        sol_c = kkt_solve(rhs_c)
+        rhs_d = jnp.zeros_like(r).at[..., n:n + m].set(
+            (r4c - r4) / lam_safe)
+        sol_c = sol_a + kkt_solve(rhs_d, r1_zero=True)
         dlam = sol_c[..., n:n + m]
         ds = -r4c / lam_safe - d_inv * dlam
 
@@ -1130,7 +1210,7 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                     r4g = jnp.where(maskb, r4g, 0.0)
                 rhs_g = jnp.zeros_like(r).at[..., n:n + m].set(
                     r4g / lam_safe)
-                sol_g = kkt_solve(rhs_g)
+                sol_g = kkt_solve(rhs_g, r1_zero=True)
                 dlam_g = sol_g[..., n:n + m]
                 ds_g = -r4g / lam_safe - d_inv * dlam_g
                 dX_c = dX + jnp.concatenate(

@@ -459,6 +459,81 @@ def plu_factor_blocks(get_block, B, n, dtype, solve_dtype=None,
                          B, n, dtype, solve_dtype)
 
 
+# Explicit-inverse factor mode for one/two-panel blocked systems (the
+# flagship dense scene: rotated K2 = 256 = 2 panels).  The blocked-LU
+# solve is 6 chained (B, P, P) block matvecs + concats per KKT solve —
+# measured at the HBM roofline with ~0.27 ms of pure XLA op latency on
+# top (PERF.md round-3 roofline: 0.43 ms vs 0.29 ms floor).  The
+# explicit inverse reads the SAME bytes (K_pad^2 = the 4 factor blocks)
+# but in ONE batched matvec, so the op-latency tax disappears; the
+# inverse is assembled from the SAME lazy block grid via the 2x2
+# block-Schur identity (3 extra MXU matmuls over plain LU).  Bounded at
+# T <= 2: a T-panel block-GJ inverse needs ~T^3 panel matmuls, which
+# stops paying at T = 3 (joint scenes keep the LU path).
+INV_MAX_PANELS = 2
+
+
+def inv_supported(n):
+    return _ru(n, PANEL) // PANEL <= INV_MAX_PANELS
+
+
+def inv_factor_blocks(get_block, B, n, dtype, solve_dtype=None,
+                      exact=False):
+    """Explicit full inverse from a lazy per-block source; same contract
+    as :func:`plu_factor_blocks` but the returned factor solves with one
+    batched matvec (see :func:`_inv_solve`).  T = 1 is the diagonal-panel
+    GJ inverse; T = 2 uses the block-Schur 2x2 inverse identity
+
+        [[A, Bb], [C, D]]^-1 = [[A^-1 + X S^-1 Y, -X S^-1],
+                                [-S^-1 Y,          S^-1]],
+        X = A^-1 Bb,  Y = C A^-1,  S = D - C X
+
+    with both panel inversions on the existing Gauss-Jordan kernels and
+    every block product a batched MXU matmul.  Pivotless panel GJ is
+    stable here for the same quasi-definite reason as the LU it replaces
+    (every leading principal submatrix nonsingular)."""
+    n_pad = _ru(n, PANEL)
+    T = n_pad // PANEL
+    assert pallas_supported(n) and T <= INV_MAX_PANELS
+    dt = dtype
+    mm = lambda X, Y: jnp.einsum("bij,bjk->bik", X, Y,
+                                 preferred_element_type=dt)
+    if T == 1:
+        inv = _gj_inverse(get_block(0, 0), exact)
+    else:
+        A_, Bb = get_block(0, 0), get_block(0, 1)
+        C_, D_ = get_block(1, 0), get_block(1, 1)
+        Ainv = _gj_inverse(A_, exact)
+        X = mm(Ainv, Bb)
+        Y = mm(C_, Ainv)
+        Sinv = _gj_inverse(D_ - mm(C_, X), exact)
+        M21 = -mm(Sinv, Y)
+        M12 = -mm(X, Sinv)
+        M11 = Ainv - mm(X, M21)
+        inv = jnp.concatenate(
+            [jnp.concatenate([M11, M12], -1),
+             jnp.concatenate([M21, Sinv], -1)], -2)
+    if solve_dtype is not None and solve_dtype != dt:
+        inv = inv.astype(solve_dtype)
+    return ("inv", inv, (B, n))
+
+
+def _inv_solve(inv, r, n, trans=0):
+    """x = K^-1 r (or K^-T r) as ONE batched matvec against the stored
+    explicit inverse.  Same bf16-storage convention as
+    :func:`_blocked_solve`: operands cast to the storage dtype on the
+    fast path, f32 accumulation via preferred_element_type."""
+    B, n_pad = r.shape[0], inv.shape[-1]
+    acc_dt = r.dtype
+    rp = jnp.zeros((B, n_pad), acc_dt).at[:, :n].set(r)
+    cast = (lambda v: v) if SOLVE_PRECISION is not None else \
+        (lambda v: v.astype(inv.dtype))
+    eq = "bij,bj->bi" if trans == 0 else "bij,bi->bj"
+    x = jnp.einsum(eq, inv, cast(rp), precision=SOLVE_PRECISION,
+                   preferred_element_type=acc_dt)
+    return x[:, :n]
+
+
 def _wrap_blocked(fac2, B, n, dtype, solve_dtype):
     if solve_dtype is not None and solve_dtype != dtype:
         fac2 = jax.tree.map(lambda x: x.astype(solve_dtype), fac2)
@@ -649,6 +724,9 @@ def plu_solve(fac, r, trans=0):
     if fac[0] == "blocked":
         _, fac2, (B, n) = fac
         return _blocked_solve(fac2, r, n, trans)
+    if fac[0] == "inv":
+        _, inv, (B, n) = fac
+        return _inv_solve(inv, r, n, trans)
     _, lu_t, (B, n) = fac
     n_pad, _, B_pad = lu_t.shape
     dt = lu_t.dtype

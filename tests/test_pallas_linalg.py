@@ -152,3 +152,40 @@ def test_blocked_bf16_factor_storage():
     # CPU runs never turn the cast on implicitly
     assert _fwd_store_dtype(jnp.float32) is None
     assert _fwd_store_dtype(jnp.float64) is None
+
+
+@pytest.mark.parametrize("n", [100, 250])   # T = 1 and T = 2 panels
+def test_inv_factor_blocks_matches_dense(n):
+    """Explicit-inverse factor mode (round 4): inv_factor_blocks over a
+    lazy block source must solve K x = r and K^T x = r to the same class
+    as the dense reference, for one- and two-panel systems."""
+    from lcp_physics_tpu.ops.linalg import (PANEL, _ru, inv_factor_blocks,
+                                            inv_supported)
+
+    assert inv_supported(n)
+    B = 2
+    rng = np.random.default_rng(5)
+    # f64 on CPU: the scalar GJ kernel path, precision-exact
+    K = np.asarray(kkt_like_batch(B, n // 2, n - n // 2, rng),
+                   np.float64)
+    K = jnp.asarray(K)
+    n_pad = _ru(n, PANEL)
+    Kp = jnp.zeros((B, n_pad, n_pad), K.dtype).at[:, :n, :n].set(K)
+    if n_pad > n:
+        idx = jnp.arange(n, n_pad)
+        Kp = Kp.at[:, idx, idx].set(1.0)
+
+    def get_block(t, s):
+        return Kp[:, t * PANEL:(t + 1) * PANEL, s * PANEL:(s + 1) * PANEL]
+
+    fac = inv_factor_blocks(get_block, B, n, K.dtype)
+    assert fac[0] == "inv"
+    r = jnp.asarray(rng.standard_normal((B, n)))
+    x = plu_solve(fac, r)
+    x_ref = jnp.linalg.solve(K, r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-8)
+    xt = plu_solve(fac, r, trans=1)
+    xt_ref = jnp.linalg.solve(jnp.swapaxes(K, -1, -2), r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_ref),
+                               rtol=1e-8, atol=1e-8)
