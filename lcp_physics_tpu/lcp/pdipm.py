@@ -94,14 +94,33 @@ FWD_FACTOR_PRECISION = None
 # factor is assembled into a FULL explicit inverse (2x2 block-Schur
 # identity over the lazy 128-panel grid — 3 extra MXU matmuls vs blocked
 # LU), so each of the two KKT solves per IPM iteration is ONE batched
-# matvec instead of 6 chained block matvecs + concats, killing the
-# ~0.27 ms/solve XLA op-latency tax the round-3 roofline measured on
-# top of the HBM floor.  INV_REFINE structured refinement steps per
-# solve (residual from P2 + diagonal + band, S2 never materialized)
-# recover substitution-class accuracy, mirroring the fused small-K
-# kernel's explicit-inverse + refinement scheme (PERF.md round 3).
+# matvec instead of 6 chained block matvecs + concats.  INV_REFINE
+# structured refinement steps per solve (residual from P2 + diagonal +
+# band, S2 never materialized) recover substitution-class accuracy,
+# mirroring the fused small-K kernel's explicit-inverse + refinement
+# scheme (PERF.md round 3).
+#
+# Measured round 4 (dense 64-body flagship, B=256, after the compact-
+# residual/single-z loop rework): blocked LU 16,095 steps/s vs inv
+# 15,160 (refine=0) / 11,494 (INV_REFINE=1) — the 3 extra factor
+# matmuls cost more than the solve-latency win, so the inverse mode is
+# NOT the refine=0 default.  It engages when ``refine > 0`` (KKT floor
+# 5.8e-4 vs 1.5e-2; lets refinement ride the lazy path with S2 never
+# materialized) and as the substrate of the fused per-iteration kernel.
 FWD_INV_SOLVE = True
 INV_REFINE = 1
+
+# Fused per-ITERATION Pallas kernel (ops/ipm_iter.py) for rotated
+# systems past the whole-IPM kernel's K cap (flagship dense scene:
+# K2 = 256): factor on the XLA/MXU blocked explicit-inverse path, the
+# entire rest of the iteration in one Pallas kernel with the inverse
+# and Ghat2 VMEM-resident.  Module switch for A/B benchmarks; DEFAULT
+# OFF — measured round 4 on the dense 64-body flagship: 14,686 steps/s
+# fused vs 16,058 unfused, because the explicit-inverse factor it rides
+# on costs 3 extra MXU block matmuls per iteration (same reason
+# FWD_INV_SOLVE is refine>0-only above).  Tests force it via
+# monkeypatch; flip to True only if the factor-side cost is recovered.
+FUSE_ITER = False
 
 
 def _precision_ctx():
@@ -446,7 +465,7 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
         def solve_red(rhs_red, trans):
             return _solve_refined(fac, S_red, rhs_red, be, trans, refine)
 
-        def solve(rhs, trans=0, r1_zero=False):
+        def reduced(rhs, trans=0, r1_zero=False):
             r1, r2 = rhs[..., :n], rhs[..., n:]
             rk = jnp.concatenate([r2[..., :mg], r2[..., m:]], axis=-1)
             rg = r2[..., mg:m]
@@ -466,12 +485,36 @@ def make_kkt_factor(Q, q_diag, G, A, F, reg, backend, gamma_rows=0,
                 wg = -Dginv * (tg - skg_t_apply(wk))
             w_full = jnp.concatenate(
                 [wk[..., :mg], wg, wk[..., mg:]], axis=-1)
+            return w_full, wk
+
+        def z_from(r1, wk):
             with _precision_ctx():
-                z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
+                return qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat_k, wk))
+
+        def solve(rhs, trans=0, r1_zero=False):
+            w_full, wk = reduced(rhs, trans, r1_zero)
+            z = z_from(rhs[..., :n], wk)
             return jnp.concatenate([z, w_full], axis=-1)
 
+        solve.reduced = reduced
+        solve.z_from = z_from
         return solve
 
+    # Compact residual operators: G's gamma rows are structurally zero,
+    # so residual products ride Ghat_k = [G_kept; A] (B, K, n) instead
+    # of the full G (B, m, n) plus separate A matvecs.
+    def res_down_g(z):
+        y = jnp.einsum("bkn,bn->bk", Ghat_k, z)       # (B, K)
+        Gz = jnp.concatenate(
+            [y[..., :mg], jnp.zeros(y.shape[:-1] + (g_,), dt)], axis=-1)
+        return jnp.concatenate([Gz, y[..., mg:]], axis=-1)
+
+    def res_up_g(lam, nu):
+        u = jnp.concatenate([lam[..., :mg], nu], axis=-1)
+        return jnp.einsum("bkn,bk->bn", Ghat_k, u)
+
+    factor_schur_gamma.residual_ops = (res_down_g, res_up_g)
+    factor_schur_gamma.has_reduced = True
     return factor_schur_gamma
 
 
@@ -568,7 +611,10 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
                                             _ru as _ru_, inv_supported)
 
     blocked_ok = (be == "pallas" and _ru_(K2, 8) > MAX_LANE_N)
-    inv_ok = blocked_ok and FWD_INV_SOLVE and inv_supported(K2)
+    # refine > 0 only: at refine == 0 the blocked-LU substitution is
+    # faster end to end (see the FWD_INV_SOLVE note at the top).
+    inv_ok = (blocked_ok and FWD_INV_SOLVE and inv_supported(K2)
+              and refine > 0)
     lazy_ok = blocked_ok and (refine == 0 or inv_ok)
     if lazy_ok:
         K_pad = _ru_(K2, PANEL)
@@ -640,11 +686,15 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
             def solve_red(rhs_red, trans):
                 return _solve_refined(fac, S2, rhs_red, be, trans, refine)
 
-        def solve(rhs, trans=0, r1_zero=False):
+        def reduced(rhs, trans=0, r1_zero=False):
             # ``r1_zero``: caller guarantees the r1 (z-row) block is
             # structurally zero (the Mehrotra corrector-DELTA and gondzio
             # rhs), so the Ghat2 rhs transform — a full read of the
             # (B, K2, n) tensor — is skipped outright.
+            # Returns (w_full, wk) WITHOUT the z block: the IPM loop
+            # recovers z once per iteration from the SUMMED predictor +
+            # corrector wk (z-recovery is linear in wk), halving the
+            # (B, K2, n) 'highest' matvec count (round 4).
             r1, r2 = rhs[..., :n], rhs[..., n:]
             r_c = r2[..., :C_]
             r_f1 = r2[..., C_:2 * C_]
@@ -695,12 +745,70 @@ def _rot_factor_factory(Q, q_diag, G, A, F, reg, backend, refine, fwd_fast,
             w_f1 = (w_u + w_v) / sq2
             w_f2 = (w_u - w_v) / sq2
             w_full = jnp.concatenate([w_c, w_f1, w_f2, wg, w_q], axis=-1)
+            return w_full, wk
+
+        def z_from(r1, wk):
+            # Same formula for trans=0/1: the KKT coupling blocks are
+            # exact transposes of each other (Ghat2 / Ghat2^T).
             with _precision_ctx():
-                z = qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat2, wk))
+                return qinv * (r1 - jnp.einsum("bkn,bk->bn", Ghat2, wk))
+
+        def solve(rhs, trans=0, r1_zero=False):
+            w_full, wk = reduced(rhs, trans, r1_zero)
+            z = z_from(rhs[..., :n], wk)
             return jnp.concatenate([z, w_full], axis=-1)
 
+        solve.reduced = reduced
+        solve.z_from = z_from
         return solve
 
+    # Compact residual operators (round 4): G's rotated structure means
+    # the loop's residual matvecs never need the full (B, m, n) G — the
+    # f2 rows are exact negatives of f1 and the gamma rows are zero, so
+    # both the down (G z / A z) and up (G^T lam + A^T nu) products ride
+    # the already-formed Ghat2 (B, K2, n), halving residual HBM bytes
+    # and dropping the separate A matvecs.  Callers apply their own
+    # precision context.
+    C2 = F.C
+
+    def res_down(z):
+        y = jnp.einsum("bkn,bn->bk", Ghat2, z)        # (B, K2)
+        gf1 = y[..., C2:2 * C2] / sq2
+        Gz = jnp.concatenate(
+            [y[..., :C2], gf1, -gf1,
+             jnp.zeros(y.shape[:-1] + (m - 3 * C2,), dt)], axis=-1)
+        return jnp.concatenate([Gz, y[..., 2 * C2:]], axis=-1)
+
+    def res_up(lam, nu):
+        u = jnp.concatenate(
+            [lam[..., :C2],
+             (lam[..., C2:2 * C2] - lam[..., 2 * C2:3 * C2]) / sq2,
+             nu], axis=-1)
+        return jnp.einsum("bkn,bk->bn", Ghat2, u)
+
+    factor_rot.residual_ops = (res_down, res_up)
+    factor_rot.has_reduced = True
+
+    # Substrate of the fused per-ITERATION kernel (ops/ipm_iter.py):
+    # a raw-explicit-inverse builder over the SAME lazy block grid, so
+    # the kernel's two KKT solves per iteration are masked matvecs
+    # against a VMEM-resident inverse.  Only attached when the blocked
+    # pallas path with the block-Schur inverse is available.
+    if lazy_ok and inv_supported(K2):
+        from lcp_physics_tpu.ops.linalg import inv_factor_blocks
+
+        def iter_inv_raw(d_inv):
+            """(B, m) d_inv -> raw (B, K_pad, K_pad) explicit inverse of
+            the rotated reduced system (identity on padding rows)."""
+            Dginv = 1.0 / (d_inv[..., mg:] + reg)
+            _cn, _delta, _gu, dmain, bn = rot_scalars(d_inv, Dginv)
+            with _fwd_factor_ctx(fwd_precision):
+                _tag, inv, _sh = inv_factor_blocks(
+                    make_get_block(dmain, bn), B, K2, dt, store_dt,
+                    exact=exact_fwd)
+            return inv
+
+        factor_rot.iter_inv_raw = iter_inv_raw
     return factor_rot
 
 
@@ -987,6 +1095,11 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                                  refine=refine, fwd_fast=True,
                                  fwd_precision=factor_precision,
                                  fric_pair=fric_pair)
+    # Round-4 loop fast paths exposed by the gamma/rot factories:
+    # compact residual matvecs over Ghat (G's eliminated rows never
+    # re-read) and deferred single z-recovery per iteration.
+    res_ops = getattr(kkt_factor, "residual_ops", None)
+    has_reduced = getattr(kkt_factor, "has_reduced", False)
 
     # ---- Fused whole-IPM kernel dispatch (ops/ipm.py): engine layout
     # (diag Q + ConeF + gamma elimination) with a small Schur system.
@@ -1105,9 +1218,16 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         # converge to f32-true solutions (see module precision note).
         z, s, lam, nu = unpack(X)
         with _precision_ctx():
-            rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
-            rz = bmv(G, z) + Fmv(lam) + s - h
-            ry = bmv(A, z) - b
+            if res_ops is not None:
+                down, up = res_ops
+                ga = down(z)                             # [G z | A z]
+                rx = Qmv(z) + p + up(lam, nu)
+                rz = ga[..., :m] + Fmv(lam) + s - h
+                ry = ga[..., m:] - b
+            else:
+                rx = Qmv(z) + p + bmv(GT, lam) + bmv(AT, nu)
+                rz = bmv(G, z) + Fmv(lam) + s - h
+                ry = bmv(A, z) - b
         return jnp.concatenate([rx, rz, ry], axis=-1)    # (B, n+m+q)
 
     def resid_norm_packed(r):
@@ -1117,6 +1237,43 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
     def merit_of(X):
         r = kkt_residuals_packed(X)
         return comp_mu(X[..., ss], X[..., ls]) + resid_norm_packed(r), r
+
+    # ---- Fused per-ITERATION kernel dispatch (ops/ipm_iter.py): large
+    # rotated systems (flagship K2 = 256) the whole-IPM kernel cannot
+    # take.  The factor stays on the XLA/MXU blocked explicit-inverse
+    # path; ONE Pallas kernel per iteration does residuals, both solves
+    # (matvecs against the VMEM-resident inverse), ratio tests, updates
+    # and stall/best-iterate bookkeeping.  backend='pallas'/'fused'
+    # force it (interpret off-TPU, for tests); 'auto' requires TPU.
+    iter_inv_raw = getattr(kkt_factor, "iter_inv_raw", None)
+    fuse_iter = False
+    if (FUSE_ITER and iter_inv_raw is not None and cone and refine == 0
+            and gondzio == 0 and not verbose and not fuse
+            and max_iter > 0):
+        from lcp_physics_tpu.ops.ipm_iter import fused_iter_supported
+
+        if fused_iter_supported(F.C, q, B, n=n):
+            if backend in ("pallas", "fused"):
+                fuse_iter = True
+            elif backend == "auto":
+                fuse_iter = jax.default_backend() in ("tpu", "axon")
+
+    if fuse_iter:
+        from lcp_physics_tpu.ops.ipm_iter import fused_iter_ipm
+
+        rm = (row_mask if row_mask is not None else jnp.ones((B, m), dt))
+        X0f = pack(z, s, lam, nu)
+        Xf, bestXf, best_merit_f, iters = fused_iter_ipm(
+            1.0 / q_diag, p, G, h, A, b, F.mu, F.valid, rm, X0f,
+            C=F.C, q=q, max_iter=max_iter, tol=tol, consts=consts,
+            not_improved_lim=not_improved_lim, inv_raw=iter_inv_raw)
+        final_merit, _ = merit_of(Xf)
+        Xf = jnp.where((best_merit_f < final_merit)[..., None],
+                       bestXf, Xf)
+        z, s, lam, nu = unpack(Xf)
+        r = kkt_residuals_packed(Xf)
+        return maybe_squeeze(PdipmSolution(
+            z, s, lam, nu, comp_mu(s, lam), resid_norm_packed(r), iters))
 
     def body(i, carry):
         X, bestX, best_merit, done, iters, stall = carry
@@ -1159,8 +1316,12 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         # complementarity correction added into the rz block.
         r4 = s * lam
         rhs_aff = (-r).at[..., n:n + m].add(r4 / lam_safe)
-        sol_a = kkt_solve(rhs_aff)
-        dlam_a = sol_a[..., n:n + m]
+        if has_reduced:
+            wa_full, wk_a = kkt_solve.reduced(rhs_aff)
+            dlam_a = wa_full[..., :m]
+        else:
+            sol_a = kkt_solve(rhs_aff)
+            dlam_a = sol_a[..., n:n + m]
         ds_a = -r4 / lam_safe - d_inv * dlam_a
 
         dsl_a = jnp.concatenate([ds_a, dlam_a], axis=-1)
@@ -1180,12 +1341,27 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
         r4c = r4 + ds_a * dlam_a - (sigma * mu)[..., None]
         rhs_d = jnp.zeros_like(r).at[..., n:n + m].set(
             (r4c - r4) / lam_safe)
-        sol_c = sol_a + kkt_solve(rhs_d, r1_zero=True)
-        dlam = sol_c[..., n:n + m]
-        ds = -r4c / lam_safe - d_inv * dlam
+        if has_reduced:
+            wd_full, wk_d = kkt_solve.reduced(rhs_d, r1_zero=True)
+            w_full = wa_full + wd_full
+            dlam = w_full[..., :m]
+            ds = -r4c / lam_safe - d_inv * dlam
+            wk_tot = wk_a + wk_d
+            if gondzio == 0:
+                dz = kkt_solve.z_from(rhs_aff[..., :n], wk_tot)
+            dX_tail = w_full[..., m:]
+        else:
+            sol_c = sol_a + kkt_solve(rhs_d, r1_zero=True)
+            dlam = sol_c[..., n:n + m]
+            ds = -r4c / lam_safe - d_inv * dlam
+            dz = sol_c[..., :n]
+            dX_tail = sol_c[..., n + m:]
 
-        dX = jnp.concatenate([sol_c[..., :n], ds, dlam,
-                              sol_c[..., n + m:]], axis=-1)
+        if has_reduced and gondzio > 0:
+            # z-recovery must wait for the gondzio wk accumulation below
+            # (acceptance masks keep it linear in wk).
+            dz = jnp.zeros((B, n), dt)
+        dX = jnp.concatenate([dz, ds, dlam, dX_tail], axis=-1)
         alpha_raw = _max_step(sl, dX[..., sls], mask2)
 
         # Gondzio multiple centrality correctors (static unroll; knob
@@ -1210,16 +1386,32 @@ def _pdipm_solve(Q, p, G, h, A, b, F, *, max_iter, tol, backend, q_diag,
                     r4g = jnp.where(maskb, r4g, 0.0)
                 rhs_g = jnp.zeros_like(r).at[..., n:n + m].set(
                     r4g / lam_safe)
-                sol_g = kkt_solve(rhs_g, r1_zero=True)
-                dlam_g = sol_g[..., n:n + m]
-                ds_g = -r4g / lam_safe - d_inv * dlam_g
-                dX_c = dX + jnp.concatenate(
-                    [sol_g[..., :n], ds_g, dlam_g, sol_g[..., n + m:]],
-                    axis=-1)
+                if has_reduced:
+                    # z deferred: the ratio test only reads the s|lam
+                    # block, and acceptance-masked wk accumulation keeps
+                    # the final z-recovery linear.
+                    wg_full, wk_g = kkt_solve.reduced(rhs_g, r1_zero=True)
+                    dlam_g = wg_full[..., :m]
+                    ds_g = -r4g / lam_safe - d_inv * dlam_g
+                    dX_c = dX + jnp.concatenate(
+                        [jnp.zeros((B, n), dt), ds_g, dlam_g,
+                         wg_full[..., m:]], axis=-1)
+                else:
+                    sol_g = kkt_solve(rhs_g, r1_zero=True)
+                    dlam_g = sol_g[..., n:n + m]
+                    ds_g = -r4g / lam_safe - d_inv * dlam_g
+                    dX_c = dX + jnp.concatenate(
+                        [sol_g[..., :n], ds_g, dlam_g, sol_g[..., n + m:]],
+                        axis=-1)
                 alpha_c = _max_step(sl, dX_c[..., sls], mask2)
                 ok = alpha_c >= jnp.minimum(alpha_raw + 0.008, 1.0)
                 dX = jnp.where(ok[..., None], dX_c, dX)
+                if has_reduced:
+                    wk_tot = wk_tot + jnp.where(ok[..., None], wk_g, 0.0)
                 alpha_raw = jnp.where(ok, alpha_c, alpha_raw)
+            if has_reduced:
+                dz = kkt_solve.z_from(rhs_aff[..., :n], wk_tot)
+                dX = dX.at[..., :n].set(dz)
 
         alpha = (0.99 * alpha_raw)[..., None]
 

@@ -1,0 +1,367 @@
+"""Fused per-ITERATION Pallas kernel for large rotated contact systems.
+
+The whole-IPM kernel (ops/ipm.py) holds the (K, K, L) Schur plane in VMEM
+and runs a rank-1 lane Gauss-Jordan — that stops scaling past K ~ 48 (the
+GJ is K sequential steps over a K^2 L tile).  The flagship dense 64-body
+scene rotates to K2 = 256, where the right split is:
+
+  * the FACTOR stays on the XLA-orchestrated blocked path — panel
+    Gauss-Jordan kernels + MXU block products building the EXPLICIT
+    inverse (ops/linalg.py ``inv_factor_blocks``), where the O(K^3)
+    flops ride the systolic array;
+  * EVERYTHING ELSE in the iteration — residuals, merit/best-iterate/
+    stall bookkeeping, the Mehrotra predictor and corrector-delta
+    solves (one masked matvec each against the VMEM-RESIDENT inverse),
+    the u/gamma closed-form recoveries, ratio tests and masked updates
+    — runs in ONE Pallas kernel per iteration with the inverse AND
+    Ghat2 resident in VMEM.
+
+Versus the unfused loop this removes every per-iteration HBM re-read
+except one pass over the factor itself: the round-3 roofline measured
+the two substitution solves at the HBM floor re-reading the factor per
+pass, plus ~4 separate (B, K2, n) Ghat2 reads per iteration (residual
+down/up, rhs transform, z-recovery) — here Ghat2 is read once per
+iteration and the in-kernel matvecs are exact-f32 VPU fmas (better than
+the XLA 'highest' 3-pass the unfused path uses).
+
+The iteration math is the corrector-DELTA formulation of lcp/pdipm.py's
+packed loop (predictor solve + delta solve + ONE deferred z-recovery),
+transcribed to the (feature, lane) layout of ops/ipm.py.
+
+Reference parity: this fuses `lcp_physics/lcp/solvers/batch.py::forward`'s
+per-iteration solve_kkt pair + vector updates (SURVEY.md §2.1/§7 step 7)
+for the system sizes the whole-IPM kernel cannot take.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lcp_physics_tpu.ops.linalg import PANEL, _interpret, _ru
+
+# Lanes per grid cell.  The kernel's VMEM residency is dominated by the
+# (K_pad, K_pad, L) inverse (bf16) and the (K2, n, L) Ghat2 (f32); at
+# the flagship shape (K_pad = 256, n = 192, L = 128) that is ~17 + 25 MB
+# live, ~90 MB with the double-buffered staging, plus ~8 MB of chunked
+# matvec transients (see CH in the kernel: whole-tensor broadcast
+# multiplies measured 136.9 MB > the 128 MB physical VMEM) — legal under
+# the raised scoped-vmem limit (the 16 MiB default is a compiler limit,
+# not physical VMEM; same trick as linalg's GJ kernels).
+_ITER_LANES = 128
+_ITER_VMEM_LIMIT = 120 * 1024 * 1024
+
+# Largest rotated Schur system the kernel takes: two 128-panels — the
+# same bound as the explicit-inverse factor mode it rides on
+# (ops/linalg.py INV_MAX_PANELS).
+MAX_ITER_K = 2 * PANEL
+
+
+def fused_iter_supported(C, q, B, n=None, K2=None):
+    """Engine-layout rotated systems with 88 < K2 <= 256 and a batch
+    that tiles the lane width exactly (odd batches fall back to the
+    unfused loop rather than paying a padded factor).  With ``n`` given,
+    also checks the VMEM budget: the double-buffered inverse (bf16) +
+    Ghat2 (f32) staging plus ~30 MB of vector blocks and chunked-matvec
+    transients must fit the scoped-vmem limit."""
+    K2 = 2 * C + q if K2 is None else K2
+    ok = (_ru(K2, 8) > 88 and K2 <= MAX_ITER_K
+          and B % _ITER_LANES == 0 and B > 0)
+    if ok and n is not None:
+        K_pad = _ru(K2, PANEL)
+        big = 2 * _ITER_LANES * (K_pad * K_pad * 2 + K2 * n * 4)
+        ok = big + (30 << 20) <= _ITER_VMEM_LIMIT
+    return ok
+
+
+def _iter_kernel(dims, consts, tol, not_improved_lim,
+                 inv_ref, Ghat_ref, qinv_ref, p_ref, h_ref, b_ref,
+                 muv_ref, valid_ref, rmask_ref,
+                 Xin_ref, bestin_ref, statein_ref,
+                 Xout_ref, bestout_ref, stateout_ref):
+    n, m, q, C, K2, K_pad = dims
+    mg = m - C                               # kept rows [c, f1, f2]
+    sq2 = float(np.sqrt(2.0))
+    dt = p_ref.dtype
+    tiny, reg = consts["tiny"], consts["reg"]
+    dinv_min, dinv_max = consts["dinv_min"], consts["dinv_max"]
+    L = p_ref.shape[-1]
+
+    # Pass-through first: a tile whose lanes are all done skips the body.
+    Xout_ref[...] = Xin_ref[...]
+    bestout_ref[...] = bestin_ref[...]
+    stateout_ref[...] = statein_ref[...]
+    done_in = statein_ref[pl.ds(1, 1), :][0] > 0.5
+
+    @pl.when(~jnp.all(done_in))
+    def _body():
+        X = Xin_ref[...]
+        z, s, lam = X[:n], X[n:n + m], X[n + m:n + 2 * m]
+        # q == 0 keeps every nu-slice out of the kernel: Mosaic rejects
+        # zero-size vectors (interpret mode tolerates them).
+        nu = X[n + 2 * m:] if q else None
+        rmask = rmask_ref[...] > 0
+        rcount = jnp.maximum(jnp.sum(rmask_ref[...], axis=0), 1.0)
+        v_ = valid_ref[...]
+        mu_v = muv_ref[...]
+        qinv = qinv_ref[...]
+
+        # The big per-world matvecs are CHUNKED over their contraction
+        # axis with ref reads per chunk: a whole-tensor read + broadcast
+        # multiply materializes a (256, 256, 128) f32 intermediate
+        # (33.6 MB) which blew past physical VMEM at the flagship shape
+        # (measured round 4: 136.9 MB > 128 MB).  64-row chunks cap the
+        # transient at ~8.4 MB and let Mosaic reuse the buffer.
+        CH = 64
+
+        def matvec(M_ref, x):            # ref (a, b, L), (b, L) -> (a, L)
+            a, bdim = M_ref.shape[0], M_ref.shape[1]
+            acc = jnp.zeros((a, L), dt)
+            for j0 in range(0, bdim, CH):
+                j1 = min(j0 + CH, bdim)
+                Mj = M_ref[:, j0:j1, :].astype(dt)
+                acc = acc + jnp.sum(Mj * x[j0:j1][None, :, :], axis=1)
+            return acc
+
+        def matvec_T(M_ref, x):          # ref (a, b, L), (a, L) -> (b, L)
+            a, bdim = M_ref.shape[0], M_ref.shape[1]
+            acc = jnp.zeros((bdim, L), dt)
+            for i0 in range(0, a, CH):
+                i1 = min(i0 + CH, a)
+                Mi = M_ref[i0:i1, :, :].astype(dt)
+                acc = acc + jnp.sum(Mi * x[i0:i1][:, None, :], axis=0)
+            return acc
+
+        def max_abs(x, mask=None):
+            xa = jnp.abs(x)
+            if mask is not None:
+                xa = jnp.where(mask, xa, 0.0)
+            return jnp.max(xa, axis=0)
+
+        def max_step(vv, dv, mask):
+            neg = (dv < 0) & mask
+            ratio = jnp.where(neg, -vv / jnp.where(neg, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio, axis=0, initial=jnp.inf))
+
+        # ---- residuals (rot layout; ops/ipm.py residuals) --------------
+        lam_v = (lam[C:2 * C] - lam[2 * C:3 * C]) / sq2
+        lam_k = jnp.concatenate(
+            [lam[:C], lam_v] + ([nu] if q else []), axis=0)
+        rx = (1.0 / qinv) * z + p_ref[...] + matvec_T(Ghat_ref, lam_k)
+        y0 = matvec(Ghat_ref, z)        # [G_c z; sqrt2 G_f1 z; A z]
+        Gf1 = y0[C:2 * C] / sq2
+        gamma = lam[mg:m]
+        bsum = lam[C:2 * C] + lam[2 * C:3 * C]
+        Flam = jnp.concatenate(
+            [jnp.zeros((C, L), dt), -(v_ * gamma), -(v_ * gamma),
+             -mu_v * lam[:C] + v_ * bsum], axis=0)
+        rz = jnp.concatenate([y0[:C], Gf1, -Gf1, jnp.zeros((C, L), dt)],
+                             axis=0) + Flam + s - h_ref[...]
+        ry = (y0[2 * C:] - b_ref[:q]) if q else None
+
+        mu_c = jnp.sum(jnp.where(rmask, s * lam, 0.0), axis=0) / rcount
+        resid = jnp.maximum(max_abs(rx), max_abs(rz, rmask))
+        if q:
+            resid = jnp.maximum(resid, max_abs(ry))
+        merit = mu_c + resid
+
+        # ---- merit / best-iterate / stall bookkeeping ------------------
+        best_merit = statein_ref[pl.ds(0, 1), :][0]
+        done = done_in
+        it = statein_ref[pl.ds(4, 1), :][0]
+        improved = (merit < best_merit)[None]
+        bestout_ref[...] = jnp.where(improved, X, bestin_ref[...])
+        stateout_ref[0, :] = jnp.minimum(merit, best_merit)
+        stall = statein_ref[pl.ds(3, 1), :][0]
+        stall = jnp.where(improved[0], 0.0, stall + 1.0)
+        stateout_ref[3, :] = stall
+        stalled = ((stall >= not_improved_lim)
+                   & (it >= not_improved_lim + 2.0)
+                   if not_improved_lim > 0 else jnp.zeros_like(done))
+        new_done = done | (merit < tol) | stalled
+        iters = statein_ref[pl.ds(2, 1), :][0]
+        stateout_ref[2, :] = jnp.where(new_done & ~done, it, iters)
+
+        # ---- rotated Schur scalars (lcp/pdipm.py rot_scalars) ----------
+        lam_safe = jnp.maximum(lam, tiny)
+        d_inv = jnp.clip(s / lam_safe, dinv_min, dinv_max)
+        Dginv = 1.0 / (d_inv[mg:] + reg)
+        cn = v_ * mu_v * Dginv
+        cf = -v_ * Dginv
+        a1 = -(d_inv[C:2 * C] + reg) + cf
+        a2 = -(d_inv[2 * C:3 * C] + reg) + cf
+        alpha_r = 0.5 * (a1 + a2)
+        delta = 0.5 * (a1 - a2)
+        g_u = alpha_r + cf                   # < 0, nonsingular
+
+        pad_rows = K_pad - K2
+
+        def solve_S(rhs2):
+            """One masked matvec against the VMEM-resident explicit
+            inverse (identity on the padding rows, zero rhs there) —
+            chunked like matvec above."""
+            if pad_rows:
+                rhs2 = jnp.concatenate(
+                    [rhs2, jnp.zeros((pad_rows, L), dt)], axis=0)
+            x = matvec(inv_ref, rhs2)
+            return x[:K2]
+
+        def kkt_parts(r1, r2m, ry_, with_y):
+            """Rotated reduced solve (lcp/pdipm.py _rot_factor_factory
+            solve, trans=0) WITHOUT the z-recovery: returns (wk, dlam).
+            ``with_y=False`` is the corrector-delta path (r1 and ry are
+            structurally zero, the Ghat2 rhs transform is skipped)."""
+            tg = r2m[mg:m]
+            tD = Dginv * tg
+            ru = (r2m[C:2 * C] + r2m[2 * C:3 * C]) / sq2
+            rv = (r2m[C:2 * C] - r2m[2 * C:3 * C]) / sq2
+            if with_y:
+                y = matvec(Ghat_ref, qinv * r1)
+                t_c = r2m[:C] - y[:C]
+                t_v = rv - y[C:2 * C]
+                t_q = [ry_ - y[2 * C:]] if q else []
+            else:
+                t_c = r2m[:C]
+                t_v = rv
+                t_q = [jnp.zeros((q, L), dt)] if q else []
+            t_u = ru - sq2 * v_ * tD
+            rhs2 = jnp.concatenate(
+                [t_c, t_v - (delta / g_u) * t_u] + t_q, axis=0)
+            wk = solve_S(rhs2)
+            w_c, w_v = wk[:C], wk[C:2 * C]
+            w_u = (t_u - sq2 * cn * w_c - delta * w_v) / g_u
+            wg = -Dginv * (tg - (-mu_v * w_c + sq2 * v_ * w_u))
+            dlam = jnp.concatenate(
+                [w_c, (w_u + w_v) / sq2, (w_u - w_v) / sq2, wg], axis=0)
+            return wk, dlam
+
+        # ---- predictor --------------------------------------------------
+        r4 = s * lam
+        r1_a = -rx
+        r2m_a = -rz + r4 / lam_safe
+        ry_a = -ry if q else None
+        wk_a, dlam_a = kkt_parts(r1_a, r2m_a, ry_a, with_y=True)
+        ds_a = -r4 / lam_safe - d_inv * dlam_a
+
+        alpha_a = jnp.minimum(max_step(s, ds_a, rmask),
+                              max_step(lam, dlam_a, rmask))
+        mu_aff = jnp.sum(jnp.where(
+            rmask, (s + alpha_a[None] * ds_a)
+            * (lam + alpha_a[None] * dlam_a), 0.0), axis=0) / rcount
+        sigma = jnp.clip(mu_aff / jnp.maximum(mu_c, tiny), 0.0, 1.0) ** 3
+
+        # ---- corrector (delta system; r1/ry structurally zero) ----------
+        r4c = r4 + ds_a * dlam_a - (sigma * mu_c)[None]
+        dr = (r4c - r4) / lam_safe
+        wk_d, dlam_d = kkt_parts(None, dr, None, with_y=False)
+        wk = wk_a + wk_d
+        dlam = dlam_a + dlam_d
+        ds = -r4c / lam_safe - d_inv * dlam
+        # ONE deferred z-recovery (linear in wk; mirrors the unfused loop)
+        dz = qinv * (r1_a - matvec_T(Ghat_ref, wk))
+
+        alpha = (0.99 * jnp.minimum(max_step(s, ds, rmask),
+                                    max_step(lam, dlam, rmask)))[None]
+        z_n = z + alpha * dz
+        s_n = jnp.maximum(s + alpha * ds, tiny)
+        lam_n = jnp.maximum(lam + alpha * dlam, tiny)
+        s_n = jnp.where(rmask, s_n, h_ref[...])      # pin padded rows
+        lam_n = jnp.where(rmask, lam_n, tiny)
+
+        parts = [z_n, s_n, lam_n]
+        if q:
+            parts.append(nu + alpha * wk[2 * C:])
+        X_n = jnp.concatenate(parts, axis=0)
+        bad = ~jnp.all(jnp.isfinite(X_n), axis=0)
+        halt = (new_done | bad)[None]
+        Xout_ref[...] = jnp.where(halt, X, X_n)
+        stateout_ref[1, :] = (halt[0] | done).astype(dt)
+
+
+def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
+                   X0, *, C, q, max_iter, tol, consts,
+                   not_improved_lim, inv_raw):
+    """Run the per-iteration-fused IPM loop.
+
+    Inputs in the solver's (B, ...) batch layout; ``X0`` is the packed
+    [z | s | lam | nu] iterate from the qpth-style init.  ``inv_raw``
+    is the factory closure building the explicit blocked inverse
+    (B, K_pad, K_pad) from d_inv (lcp/pdipm.py attaches it to the
+    rotated factor).  Returns (X, bestX, best_merit, iters) in batch
+    layout — the caller runs the shared best-iterate tail.
+    """
+    B, n = p.shape
+    m = h.shape[-1]
+    K2 = 2 * C + q
+    K_pad = _ru(K2, PANEL)
+    dt = p.dtype
+    L = _ITER_LANES
+    assert B % L == 0, "fused_iter_supported guards this"
+    LX = X0.shape[-1]                        # n + 2m + q
+
+    sq2 = jnp.sqrt(jnp.asarray(2.0, dt))
+    Ghat2 = jnp.concatenate(
+        [G[:, :C, :], sq2 * G[:, C:2 * C, :], A], axis=-2)  # (B, K2, n)
+
+    lanes = lambda x: x.T                                   # (B, f) -> (f, B)
+    Ghat_l = jnp.transpose(Ghat2, (1, 2, 0))                # (K2, n, B)
+    qp1 = max(q, 1)
+    b_l = lanes(b if q else jnp.ones((B, 1), dt))
+
+    state0 = jnp.stack([
+        jnp.full((B,), jnp.finfo(dt).max / 8, dt),          # best merit
+        jnp.zeros((B,), dt),                                # done
+        jnp.full((B,), float(max_iter), dt),                # iters
+        jnp.zeros((B,), dt),                                # stall
+        jnp.zeros((B,), dt),                                # iteration idx
+        jnp.zeros((B,), dt), jnp.zeros((B,), dt), jnp.zeros((B,), dt),
+    ], axis=0)                                              # (8, B)
+
+    vec = lambda feat: pl.BlockSpec((feat, L), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c, L), lambda i: (0, 0, i),
+                                    memory_space=pltpu.VMEM)
+    dims = (n, m, q, C, K2, K_pad)
+    kern = partial(_iter_kernel, dims, consts, tol, not_improved_lim)
+
+    n_s = slice(n, n + m)
+    l_s = slice(n + m, n + 2 * m)
+
+    def body(carry):
+        i, X_l, best_l, state = carry
+        s_l, lam_l = X_l[n_s], X_l[l_s]
+        d_inv = jnp.clip(s_l / jnp.maximum(lam_l, consts["tiny"]),
+                         consts["dinv_min"], consts["dinv_max"]).T
+        inv = inv_raw(d_inv)                                # (B, K_pad, K_pad)
+        inv_l = jnp.transpose(inv, (1, 2, 0))
+        state = state.at[4].set(jnp.asarray(i, dt))
+        X_l, best_l, state = pl.pallas_call(
+            kern,
+            grid=(B // L,),
+            in_specs=[mat(K_pad, K_pad), mat(K2, n),
+                      vec(n), vec(n), vec(m), vec(qp1),
+                      vec(C), vec(C), vec(m),
+                      vec(LX), vec(LX), vec(8)],
+            out_specs=(vec(LX), vec(LX), vec(8)),
+            out_shape=(jax.ShapeDtypeStruct((LX, B), dt),
+                       jax.ShapeDtypeStruct((LX, B), dt),
+                       jax.ShapeDtypeStruct((8, B), dt)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_ITER_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(inv_l, Ghat_l, lanes(qinv), lanes(p), lanes(h), b_l,
+          lanes(mu_v), lanes(valid), lanes(row_mask),
+          X_l, best_l, state)
+        return i + 1, X_l, best_l, state
+
+    def cond(carry):
+        i, _X, _b, state = carry
+        return (i < max_iter) & ~jnp.all(state[1] > 0.5)
+
+    init = (jnp.asarray(0, jnp.int32), lanes(X0), lanes(X0), state0)
+    _, X_l, best_l, state = jax.lax.while_loop(cond, body, init)
+    return (X_l.T, best_l.T, state[0], state[2].astype(jnp.int32))

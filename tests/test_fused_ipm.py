@@ -125,6 +125,83 @@ def test_fused_through_lcp_solve_full():
                                rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.parametrize("q", [0, 8])
+def test_fused_iter_kernel_matches_xla(q, monkeypatch):
+    """The fused per-ITERATION kernel (ops/ipm_iter.py: blocked explicit-
+    inverse factor + one Pallas kernel per iteration) reproduces the xla
+    loop on large rotated systems (K2 > MAX_FUSED_K, B a lane multiple).
+    z is the unique QP solution and must match tightly; lam may differ on
+    dual-degenerate instances, so optimality is asserted via the merit."""
+    import lcp_physics_tpu.lcp.pdipm as pdipm_mod
+    import lcp_physics_tpu.ops.ipm_iter as ipm_iter
+    from lcp_physics_tpu.ops.ipm_iter import fused_iter_supported
+
+    monkeypatch.setattr(pdipm_mod, "FUSE_ITER", True)
+    B, n, C = 128, 64, 48                  # K2 = 96 + q > MAX_LANE_N
+    assert fused_iter_supported(C, q, B)
+    assert not fused_iter_supported(C, q, B - 8)     # lane-multiple gate
+    calls = []
+    orig = ipm_iter.fused_iter_ipm
+    monkeypatch.setattr(ipm_iter, "fused_iter_ipm",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    rng = np.random.default_rng(11)
+    qd, p, G, h, A, b, F, rmask = engine_instance(rng, B, n, C, q=q,
+                                                  pair=True)
+    kw = dict(max_iter=20, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, fric_pair=True)
+    ref = pdipm_solve(qd, p, G, h, A, b, F, backend="xla", **kw)
+    fus = pdipm_solve(qd, p, G, h, A, b, F, backend="pallas", **kw)
+    assert calls, "fused per-iteration kernel was not dispatched"
+    ref_merit = np.asarray(ref.resid + ref.mu)
+    fus_merit = np.asarray(fus.resid + fus.mu)
+    # no instance meaningfully worse than the unfused path
+    np.testing.assert_array_less(fus_merit, ref_merit * 10 + 1e-8)
+    ok = ref_merit < 1e-8
+    assert ok.sum() >= int(0.9 * B)        # generator sanity
+    np.testing.assert_allclose(np.asarray(fus.z)[ok],
+                               np.asarray(ref.z)[ok], rtol=1e-5, atol=1e-6)
+    # padded rows pinned exactly
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(rmask > 0, 0.0, fus.s - h)), 0.0, atol=1e-12)
+
+
+def test_fused_iter_gradients_match(monkeypatch):
+    """Implicit-KKT gradients are forward-backend independent WHERE the
+    two forwards land on the same KKT point: the gradient is a function
+    of the solution, and on dual-degenerate instances the two paths may
+    pick different (equally valid) lam with genuinely different implicit
+    gradients — so the comparison is restricted to instances whose duals
+    agree, and those must be the large majority."""
+    from lcp_physics_tpu.lcp import lcp_solve
+    import lcp_physics_tpu.lcp.pdipm as pdipm_mod
+    import lcp_physics_tpu.ops.ipm_iter as ipm_iter
+
+    monkeypatch.setattr(pdipm_mod, "FUSE_ITER", True)
+    B, n, C = 128, 64, 48
+    calls = []
+    orig = ipm_iter.fused_iter_ipm
+    monkeypatch.setattr(ipm_iter, "fused_iter_ipm",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    rng = np.random.default_rng(13)
+    qd, p, G, h, A, b, F, rmask = engine_instance(rng, B, n, C, pair=True)
+    kw = dict(max_iter=20, tol=1e-11, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, fric_pair=True)
+
+    def loss(h_, be):
+        z = lcp_solve(qd, p, G, h_, None, None, F, backend=be, **kw)
+        return jnp.sum(z ** 2)
+
+    g_p = jax.grad(loss)(h, "pallas")
+    assert calls
+    g_x = jax.grad(loss)(h, "xla")
+    s_p = pdipm_solve(qd, p, G, h, A, b, F, backend="pallas", **kw)
+    s_x = pdipm_solve(qd, p, G, h, A, b, F, backend="xla", **kw)
+    same = np.asarray(jnp.max(jnp.abs(s_p.lam - s_x.lam), -1)) < 1e-5
+    assert same.sum() >= int(0.8 * B)
+    np.testing.assert_allclose(np.asarray(g_p)[same], np.asarray(g_x)[same],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_gradients_match():
     """custom_vjp gradients are backend-independent (implicit KKT): the
     fused forward must produce the same gradients as xla."""

