@@ -174,23 +174,26 @@ def bench_world_steps(B=256, n_steps=16, dense=False, hulls=False,
                        hull_pair_budget=hull_budget)
     bstep = make_batched_step(static, config)
 
-    @jax.jit
     def run(params, states):
         def body(s, _):
             s2, _ = bstep(params, s, 0.01)
             return s2, ()
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
-        return out
+        return out.p, out.v
 
-    # iters=8: the single end-of-loop materialization costs one ~30 ms
-    # tunnel RTT; at iters=3 that is a +10 ms/call bias (CLAUDE.md).
-    sec = time_fn(run, params, states, iters=8)
-    rate = B * n_steps / sec
+    # Device-side chained timing (round 4; previously time_fn wall).
+    # The wall numbers carried ~3 ms/step-batch of per-call tunnel
+    # dispatch bias at this scale (dense measured 18.8 wall vs 15.7
+    # chained) — CLAUDE.md timing rules.  reps trade the one in-loop
+    # materialization RTT (~30 ms) against run length.
+    reps = 4 if dense else 40
+    sec = time_chained(run, params, states, reps=reps) / n_steps
+    rate = B / sec
     tag = "dense" if dense else "loose"
     geo = "hull" if hulls else "circle"
     bud = f", pair_budget={hull_budget}" if hull_budget else ""
     log(f"[bench] world steps (64 {geo} bodies, C=128, {tag}{bud}): "
-        f"B={B} x {n_steps} steps: {sec * 1e3:.1f} ms -> "
+        f"B={B}, {sec * 1e3:.2f} ms/step-batch device-side -> "
         f"{rate:,.0f} world-steps/sec")
     return rate
 
@@ -255,19 +258,19 @@ def bench_world_steps_joints(B=256, n_steps=16):
     config = SimConfig(max_iter=12, solver_eps=1e-5)
     bstep = make_batched_step(static, config)
 
-    @jax.jit
     def run(params, states):
         def body(s, _):
             s2, _ = bstep(params, s, 0.01)
             return s2, ()
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
-        return out
+        return out.p, out.v
 
-    sec = time_fn(run, params, states, iters=8)
-    rate = B * n_steps / sec
+    # device-side chained timing (round 4; see bench_world_steps note)
+    sec = time_chained(run, params, states, reps=4) / n_steps
+    rate = B / sec
     log(f"[bench] world steps (16-link chain + 48 raining circles, "
-        f"q=33, C=128): B={B} x {n_steps} steps: {sec * 1e3:.1f} ms -> "
-        f"{rate:,.0f} world-steps/sec")
+        f"q=33, C=128): B={B}, {sec * 1e3:.2f} ms/step-batch "
+        f"device-side -> {rate:,.0f} world-steps/sec")
     return rate
 
 

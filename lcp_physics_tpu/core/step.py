@@ -332,7 +332,8 @@ def make_step(static: SceneStatic, config: SimConfig = SimConfig()):
                      not_improved_lim=config.solver_stall_lim,
                      factor_precision=config.solver_factor_precision,
                      bwd_precision=config.solver_bwd_precision,
-                     gondzio=config.solver_gondzio)
+                     gondzio=config.solver_gondzio,
+                     stall_rtol=config.solver_stall_rtol)
     # trailing C inequality rows are the friction-cone slack block
     # (zero G rows, diagonal Schur block) -> analytic elimination; the
     # assembly's +-t tangent pairs additionally enable the friction-pair
@@ -425,7 +426,8 @@ def make_step_batched(static: SceneStatic, config: SimConfig = SimConfig(),
                      not_improved_lim=config.solver_stall_lim,
                      factor_precision=config.solver_factor_precision,
                      bwd_precision=config.solver_bwd_precision,
-                     gondzio=config.solver_gondzio)
+                     gondzio=config.solver_gondzio,
+                     stall_rtol=config.solver_stall_rtol)
     # dt rides a per-world axis: the in-jit penetration backtrack halves
     # dt independently per world, and a scalar dt broadcasts to (B,)
     # (bit-identical to the old scalar path).

@@ -64,36 +64,39 @@ def _bwd_precision_ctx(factor_precision, bwd_precision=None):
 
 
 @partial(jax.custom_vjp,
-         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19))
+         nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                          20))
 def _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend,
                     diag_q, gamma_rows, refine, not_improved_lim,
                     factor_precision, fric_pair, gondzio, bwd_precision,
-                    verbose):
+                    verbose, stall_rtol):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose)
+                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose,
+                      stall_rtol=stall_rtol)
     return sol.z
 
 
 def _lcp_fwd(Q, p, G, h, A, b, F, row_mask, max_iter, tol, backend, diag_q,
              gamma_rows, refine, not_improved_lim, factor_precision,
-             fric_pair, gondzio, bwd_precision, verbose):
+             fric_pair, gondzio, bwd_precision, verbose, stall_rtol):
     sol = pdipm_solve(Q, p, G, h, A, b, F, max_iter=max_iter, tol=tol,
                       backend=backend, q_is_diag=diag_q,
                       gamma_rows=gamma_rows, row_mask=row_mask,
                       refine=refine, not_improved_lim=not_improved_lim,
                       factor_precision=factor_precision,
-                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose)
+                      fric_pair=fric_pair, gondzio=gondzio, verbose=verbose,
+                      stall_rtol=stall_rtol)
     residuals = (sol.z, sol.s, sol.lam, sol.nu, Q, G, A, F, row_mask)
     return sol.z, residuals
 
 
 def _lcp_bwd(max_iter, tol, backend, diag_q, gamma_rows, refine,
              not_improved_lim, factor_precision, fric_pair, gondzio,
-             bwd_precision, verbose, residuals, g):
+             bwd_precision, verbose, stall_rtol, residuals, g):
     # The backward one-shot solve traces its matmuls under
     # _bwd_precision_ctx ('highest' unless bwd_precision relaxes the
     # default profile); factor_precision additionally selects the
@@ -232,7 +235,8 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
               max_iter=20, tol=1e-7, backend="auto", gamma_rows=0,
               q_is_diag=None, row_mask=None, refine=0,
               not_improved_lim=3, factor_precision=None, fric_pair=False,
-              gondzio=0, bwd_precision=None, verbose=False):
+              gondzio=0, bwd_precision=None, verbose=False,
+              stall_rtol=0.0):
     """Differentiable mixed-LCP solve; returns the primal solution ``z``.
 
     Shapes: single instance (Q (n,n) or diagonal (n,), p (n,), G (m,n),
@@ -256,6 +260,11 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     ``LCPFunction(verbose=)`` behavior, via ``jax.debug.print``).  It
     forces the UNFUSED solver loop — the fused whole-IPM Pallas kernel
     has no print channel — so expect lower throughput while it is on.
+
+    ``stall_rtol`` (0.0 = reference semantics): relative merit improvement
+    required to reset the ``not_improved_lim`` stall counter — exits
+    precision-floor plateau creep early on iteration-bound scenes (see
+    :func:`~lcp_physics_tpu.lcp.pdipm.pdipm_solve`).
     """
     diag_q, (Q, p, G, h, A, b, F) = _normalize(Q, p, G, h, A, b, F,
                                                q_is_diag)
@@ -264,7 +273,8 @@ def lcp_solve(Q, p, G, h, A=None, b=None, F=None, *,
     return _lcp_solve_core(Q, p, G, h, A, b, F, row_mask, max_iter, tol,
                            backend, diag_q, gamma_rows, refine,
                            not_improved_lim, factor_precision, fric_pair,
-                           gondzio, bwd_precision, bool(verbose))
+                           gondzio, bwd_precision, bool(verbose),
+                           float(stall_rtol))
 
 
 def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
@@ -273,7 +283,7 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                    row_mask=None, refine=0,
                    not_improved_lim=3, factor_precision=None,
                    fric_pair=False, gondzio=0,
-                   verbose=False) -> PdipmSolution:
+                   verbose=False, stall_rtol=0.0) -> PdipmSolution:
     """Non-differentiable diagnostic solve returning the full
     :class:`PdipmSolution` (slacks, multipliers, residuals, iteration
     counts)."""
@@ -287,7 +297,7 @@ def lcp_solve_full(Q, p, G, h, A=None, b=None, F=None, *,
                        refine=refine, not_improved_lim=not_improved_lim,
                        factor_precision=factor_precision,
                        fric_pair=fric_pair, gondzio=gondzio,
-                       verbose=verbose)
+                       verbose=verbose, stall_rtol=stall_rtol)
 
 
 class LCPFunction:

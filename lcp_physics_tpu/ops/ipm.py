@@ -97,7 +97,7 @@ def _structure_masks(C, fd, q):
 
 
 def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
-                      rot, *refs):
+                      rot, stall_rtol, *refs):
     n, m, q, C = dims
     mg = m - C
     # rot: friction-pair ROTATED Schur system (lcp/pdipm.py
@@ -236,9 +236,13 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
                                                 best_ref[n + 2 * m:, :])
             state_ref[0, :] = jnp.minimum(merit, best_merit)
 
-            # reference notImprovedLim stall exit (state row 3)
+            # reference notImprovedLim stall exit (state row 3);
+            # stall_rtol > 0: only a >= rtol relative improvement resets
+            # the counter (plateau-creep exit — see lcp/pdipm.py)
+            sig = ((merit < best_merit * (1.0 - stall_rtol))
+                   if stall_rtol > 0 else improved[0])
             stall = state_ref[pl.ds(3, 1), :][0]
-            stall = jnp.where(improved[0], 0.0, stall + 1.0)
+            stall = jnp.where(sig, 0.0, stall + 1.0)
             state_ref[3, :] = stall
             # i >= lim + 2 floor: mirror pdipm.py's early-collapse guard
             stalled = ((stall >= not_improved_lim)
@@ -463,7 +467,7 @@ def _fused_ipm_kernel(dims, consts, max_iter, tol, fd, not_improved_lim,
 
 def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
               z0, s0, lam0, nu0, *, C, fd, max_iter, tol, consts,
-              not_improved_lim=0, fric_pair=False):
+              not_improved_lim=0, fric_pair=False, stall_rtol=0.0):
     """Run the fused IPM loop.  Inputs in the solver's (B, ...) layout;
     the gamma rows of G must be zero (engine layout).  ``fric_pair``
     additionally asserts the two friction rows per contact are exact
@@ -525,7 +529,7 @@ def fused_ipm(q_diag, p, G, h, A, b, mu_v, valid, row_mask,
     mask_specs = [] if rot else [full(K, K), full(K, K)]
     out = pl.pallas_call(
         partial(_fused_ipm_kernel, dims, consts, max_iter, tol, fd,
-                not_improved_lim, rot),
+                not_improved_lim, rot, float(stall_rtol)),
         grid=(B_pad // L,),
         in_specs=[mat(K, K), mat(K, n), *mask_specs,
                   vec(n), vec(n), vec(m), vec(qp1),

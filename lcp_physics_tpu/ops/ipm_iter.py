@@ -78,7 +78,7 @@ def fused_iter_supported(C, q, B, n=None, K2=None):
     return ok
 
 
-def _iter_kernel(dims, consts, tol, not_improved_lim,
+def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
                  inv_ref, Ghat_ref, qinv_ref, p_ref, h_ref, b_ref,
                  muv_ref, valid_ref, rmask_ref,
                  Xin_ref, bestin_ref, statein_ref,
@@ -176,8 +176,12 @@ def _iter_kernel(dims, consts, tol, not_improved_lim,
         improved = (merit < best_merit)[None]
         bestout_ref[...] = jnp.where(improved, X, bestin_ref[...])
         stateout_ref[0, :] = jnp.minimum(merit, best_merit)
+        # stall_rtol > 0: only a >= rtol relative improvement resets the
+        # counter (plateau-creep exit — see lcp/pdipm.py)
+        sig = ((merit < best_merit * (1.0 - stall_rtol))
+               if stall_rtol > 0 else improved[0])
         stall = statein_ref[pl.ds(3, 1), :][0]
-        stall = jnp.where(improved[0], 0.0, stall + 1.0)
+        stall = jnp.where(sig, 0.0, stall + 1.0)
         stateout_ref[3, :] = stall
         stalled = ((stall >= not_improved_lim)
                    & (it >= not_improved_lim + 2.0)
@@ -284,7 +288,7 @@ def _iter_kernel(dims, consts, tol, not_improved_lim,
 
 def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
                    X0, *, C, q, max_iter, tol, consts,
-                   not_improved_lim, inv_raw):
+                   not_improved_lim, inv_raw, stall_rtol=0.0):
     """Run the per-iteration-fused IPM loop.
 
     Inputs in the solver's (B, ...) batch layout; ``X0`` is the packed
@@ -326,7 +330,8 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
     mat = lambda a, c: pl.BlockSpec((a, c, L), lambda i: (0, 0, i),
                                     memory_space=pltpu.VMEM)
     dims = (n, m, q, C, K2, K_pad)
-    kern = partial(_iter_kernel, dims, consts, tol, not_improved_lim)
+    kern = partial(_iter_kernel, dims, consts, tol, not_improved_lim,
+                   float(stall_rtol))
 
     n_s = slice(n, n + m)
     l_s = slice(n + m, n + 2 * m)

@@ -55,7 +55,16 @@ def _lane_tile(n_pad, itemsize=4):
 # to MAX_BLOCKED_N; only beyond that does the XLA path take over.
 MAX_LANE_N = 88
 PANEL = 128
-MAX_BLOCKED_N = 896
+# T = n/128 panels: the factor is an UNROLLED T-panel loop of batched MXU
+# block matmuls (O(T^3) ops at trace time), so the ceiling is compile
+# time + HBM for the (B, T, T, P, P) factor grid, not VMEM.  Round-4
+# bigworld probe: the XLA batched-LU fallback past the ceiling is a 20x
+# cliff (N=256 dense world, K2=1024: 78 vs 1,604 world-steps/s at
+# K2=896), so the ceiling sits where compile time becomes the binding
+# cost rather than at the last measured shape (T=8/K2=1024 measured:
+# PERF.md round-4 big-world section).  Bigger single worlds should fall
+# back to 'xla' or shrink c_max.
+MAX_BLOCKED_N = 1536
 
 
 def pallas_supported(nk: int) -> bool:
@@ -191,6 +200,25 @@ _GJ_IP_PRECISION = None  # None = ambient default_matmul_precision at
 SOLVE_PRECISION = None
 
 
+def _mosaic_precision(override=None):
+    """Resolve the AMBIENT matmul precision to a Mosaic-legal in-kernel
+    value at trace time.  Mosaic's dot lowering accepts only DEFAULT and
+    HIGHEST — an ambient 'high' (3-pass bf16) context, e.g. the backward
+    solve under ``lcp_solve(bwd_precision='high')``, would otherwise
+    fail to lower (NotImplementedError: Unsupported dot precision: HIGH).
+    'high'-class ambients clamp UP to HIGHEST (accuracy >= requested;
+    the in-kernel dots are a small share of 'high'-profile runtime)."""
+    if override is not None:
+        return override
+    amb = jax.config.jax_default_matmul_precision
+    if amb is None:
+        return None
+    if str(amb) in ("high", "float32_high", "bfloat16_3x", "tensorfloat32",
+                    "highest", "float32"):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _gj_inv_kernel_blocked(K_ref, out_ref):
     """In-place blocked Gauss-Jordan inversion over (L, P, P) tiles with
     rank-_GJ_BLOCK MXU updates — NO augmentation.
@@ -243,8 +271,9 @@ def _gj_inv_kernel_blocked(K_ref, out_ref):
     # forward IPM factors trace with none set (fast single-pass bf16 — the
     # factor is direction-quality there, see pdipm.py), while the implicit-
     # gradient backward traces under 'highest' and gets an exact-f32
-    # factor from the same kernel.  precision=None == ambient.
-    prec = _GJ_IP_PRECISION
+    # factor from the same kernel.  The ambient value is resolved through
+    # _mosaic_precision (Mosaic rejects HIGH; 'high' clamps to HIGHEST).
+    prec = _mosaic_precision(_GJ_IP_PRECISION)
     hi = jax.lax.Precision.HIGHEST
 
     def dot(a, b_, dims, precision=prec):

@@ -33,13 +33,16 @@ class PdipmEngine(Engine):
     # without bound (VERDICT r2 weak #6).  LRU, not plain dict.
     CACHE_MAX = 32
 
-    def __init__(self, max_iter=None, eps=None, stall_lim=None, refine=None):
+    def __init__(self, max_iter=None, eps=None, stall_lim=None, refine=None,
+                 stall_rtol=None):
         self.max_iter = max_iter
         self.eps = eps
         # Accuracy-profile overrides (None = SimConfig defaults).
         # stall_lim=3 is the reference's notImprovedLim — tools/parity.py
-        # pins it for reference-semantics runs (VERDICT r2 missing #5).
+        # pins it (with stall_rtol=0.0, the reference's strict-improvement
+        # criterion) for reference-semantics runs (VERDICT r2 missing #5).
         self.stall_lim = stall_lim
+        self.stall_rtol = stall_rtol
         self.refine = refine
         from collections import OrderedDict
         self._cache = OrderedDict()
@@ -59,6 +62,9 @@ class PdipmEngine(Engine):
             speculative=getattr(world, "speculative", SimConfig.speculative),
             solver_stall_lim=(SimConfig.solver_stall_lim
                               if self.stall_lim is None else self.stall_lim),
+            solver_stall_rtol=(SimConfig.solver_stall_rtol
+                               if self.stall_rtol is None
+                               else self.stall_rtol),
             solver_refine=(SimConfig.solver_refine
                            if self.refine is None else self.refine),
         )

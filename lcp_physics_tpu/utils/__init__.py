@@ -139,6 +139,22 @@ class SimConfig:
     # instance at small limits.  The API-parity surfaces (lcp_solve,
     # LCPFunction) keep the reference's notImprovedLim=3 default.
     solver_stall_lim: int = 1
+    # Relative merit improvement required to RESET the stall counter
+    # (0.0 = reference semantics: any strict improvement resets it).
+    # Near the precision floor the merit can keep creeping down by <1%
+    # per iteration, so the strict criterion never stalls and
+    # iteration-bound scenes (fresh impacts every step, e.g. bodies
+    # raining onto a chain) burn extra iterations for no accuracy:
+    # measured on the joint-chain scene at CPU-f32 'highest' precision,
+    # worlds converge to merit ~1e-4 by iteration ~5 then creep to 12;
+    # 0.02 cuts the summed per-step iteration maxima 81 -> 68 with
+    # identical final accuracy.  On the TPU PRODUCTION profile the bf16
+    # factor noise already trips the strict exit, so the measured gain
+    # is only +0.5-1% (PERF.md round 4) — hence default 0.0 (reference
+    # semantics); set 0.02-0.05 for iteration-bound budgets on exact
+    # ('highest'/f64) profiles.  The returned iterate is always the
+    # strict best seen.
+    solver_stall_rtol: float = 0.0
     # Gondzio multiple-centrality-corrector rounds per IPM iteration
     # (0 = off, reference Mehrotra semantics).  Each round reuses the
     # iteration's factorization for one extra cheap solve that recenters

@@ -332,6 +332,52 @@ def test_stall_exit_returns_best_iterate():
     assert int(jnp.min(sol_on.iters)) < 25
 
 
+def test_stall_rtol_saves_iterations_same_solution():
+    """stall_rtol > 0 (plateau-creep exit, PERF.md round 4) may only cut
+    iterations a strict-improvement run spends shaving <rtol per
+    iteration near its floor: the returned solution must stay in the
+    same accuracy class, and the iteration count must never go UP."""
+    rng = np.random.default_rng(23)
+    n, m, q, B = 8, 6, 2, 6
+    batch = [random_qp(rng, n, m, q, with_F=True) for _ in range(B)]
+    args = tuple(jnp.stack([inst[k] for inst in batch]) for k in range(7))
+
+    # Unreachably tight tol + stall exit on: the strict run creeps at its
+    # f64 floor, the rtol run exits once improvement falls below 2%.
+    kw = dict(max_iter=25, tol=1e-30, not_improved_lim=2)
+    sol_strict = pdipm_solve(*args, **kw)
+    sol_rtol = pdipm_solve(*args, stall_rtol=0.02, **kw)
+
+    # same solution class (both converged way past any physics tolerance)
+    np.testing.assert_allclose(np.asarray(sol_rtol.z),
+                               np.asarray(sol_strict.z),
+                               rtol=1e-5, atol=1e-7)
+    for inst in range(B):
+        check_kkt(*(a[inst] for a in args),
+                  jax.tree.map(lambda x: x[inst], sol_rtol), tol=1e-5)
+    # the relaxed criterion can only stop the counter resetting EARLIER
+    assert np.all(np.asarray(sol_rtol.iters)
+                  <= np.asarray(sol_strict.iters))
+    assert int(np.min(np.asarray(sol_rtol.iters))) < 25
+
+
+def test_stall_rtol_fused_kernel_matches_loop():
+    """The fused whole-IPM kernel (interpret mode off-TPU) honors
+    stall_rtol with the same semantics as the packed XLA loop."""
+    rng = np.random.default_rng(5)
+    B, n, C = 4, 9, 4
+    qd, p, G, h, F, rmask = _engine_layout_instance(rng, B, n, C)
+    kw = dict(max_iter=20, tol=1e-30, q_is_diag=True, gamma_rows=C,
+              row_mask=rmask, not_improved_lim=2, stall_rtol=0.05)
+    sol_x = lcp_solve_full(qd, p, G, h, None, None, F, backend="xla", **kw)
+    sol_f = lcp_solve_full(qd, p, G, h, None, None, F, backend="fused",
+                           **kw)
+    np.testing.assert_allclose(np.asarray(sol_f.z), np.asarray(sol_x.z),
+                               rtol=2e-4, atol=2e-6)
+    # the relaxed stall criterion fires in the kernel too
+    assert int(np.max(np.asarray(sol_f.iters))) < 20
+
+
 def test_lazy_block_assembly_matches_xla():
     """The lazy block-grid Schur assembly (backend='pallas', blocked size,
     refine=0 — S_red never materialized) must match the dense-assembly

@@ -22,36 +22,46 @@ from bench import build_world_scene, log, time_chained
 
 
 def main():
-    import lcp_physics_tpu.lcp.lcp as lcp_mod
     from lcp_physics_tpu.parallel import make_batched_step
     from lcp_physics_tpu.utils import SimConfig
 
     log(f"[bwd_sweep] devices: {jax.devices()}")
     B, n_steps = 256, 8
     static, params, states = build_world_scene(B, dense=True)
-    bstep = make_batched_step(static, SimConfig(max_iter=12,
-                                                solver_eps=1e-5))
 
-    def loss(params, states):
-        def body(s, _):
-            s2, _ = bstep(params, s, 0.01)
-            return s2, ()
-        out, _ = jax.lax.scan(body, states, None, length=n_steps)
-        return jnp.mean(out.p ** 2)
+    # The precision rides SimConfig.solver_bwd_precision -> lcp_solve's
+    # nondiff bwd_precision arg, so each setting gets its OWN step
+    # closure and a guaranteed-fresh trace.  (The first version of this
+    # sweep monkeypatched the module constant and re-jitted the SAME
+    # function object — jax's trace cache reused the first trace and all
+    # three "gradients" came out bit-identical.  Fresh closures per
+    # config make that impossible.)
+    def make_fb(prec):
+        bstep = make_batched_step(static, SimConfig(
+            max_iter=12, solver_eps=1e-5,
+            solver_bwd_precision=None if prec == "module" else prec))
 
-    def fb(params, states):
-        v, g = jax.value_and_grad(loss)(params, states)
-        return v, g.mass
+        def loss(params, states):
+            def body(s, _):
+                s2, _ = bstep(params, s, 0.01)
+                return s2, ()
+            out, _ = jax.lax.scan(body, states, None, length=n_steps)
+            return jnp.mean(out.p ** 2)
+
+        def fb(params, states):
+            v, g = jax.value_and_grad(loss)(params, states)
+            return v, g.mass
+
+        return fb
 
     grads = {}
     for prec in ("highest", "high", "default"):
-        lcp_mod.BWD_MATMUL_PRECISION = prec
+        fb = make_fb(prec)
         sec = time_chained(fb, params, states, reps=20)
         _, g = jax.jit(fb)(params, states)
-        grads[prec] = np.asarray(g)
+        grads[prec] = np.asarray(jax.device_get(g))
         log(f"[bwd_sweep] dense fwd+bwd (B={B}, {n_steps} steps) "
             f"bwd_precision={prec}: {sec*1e3:.2f} ms device-side")
-    lcp_mod.BWD_MATMUL_PRECISION = "highest"
 
     ref = grads["highest"]
     scale = np.max(np.abs(ref)) or 1.0

@@ -124,8 +124,9 @@ def ours_api(profile="default"):
     against matching machinery, not tuning:
       * speculative=False  (the reference has no predictive contacts;
         ours defaults True at physics/world.py World.__init__)
-      * engine stall_lim=3 (the reference's notImprovedLim default; ours
-        defaults 1 at utils SimConfig.solver_stall_lim)
+      * engine stall_lim=3, stall_rtol=0.0 (the reference's
+        notImprovedLim default with its strict-improvement criterion;
+        ours defaults stall_lim=1 at utils SimConfig)
       * max_iter=10, eps matched to the reference Defaults guesses
         (re-verify the moment the mount is populated — SURVEY §0).
     """
@@ -142,7 +143,8 @@ def ours_api(profile="default"):
     class RefProfileWorld(_World):
         def __init__(self, bodies, constraints=(), **kw):
             kw.setdefault("speculative", False)
-            kw.setdefault("engine", PdipmEngine(stall_lim=3))
+            kw.setdefault("engine",
+                          PdipmEngine(stall_lim=3, stall_rtol=0.0))
             super().__init__(bodies, constraints, **kw)
 
     ns = _Namespace("ours-refprofile",
