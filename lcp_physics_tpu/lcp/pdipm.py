@@ -115,11 +115,24 @@ INV_REFINE = 1
 # K2 = 256): factor on the XLA/MXU blocked explicit-inverse path, the
 # entire rest of the iteration in one Pallas kernel with the inverse
 # and Ghat2 VMEM-resident.  Module switch for A/B benchmarks; DEFAULT
-# OFF — measured round 4 on the dense 64-body flagship: 14,686 steps/s
-# fused vs 16,058 unfused, because the explicit-inverse factor it rides
-# on costs 3 extra MXU block matmuls per iteration (same reason
-# FWD_INV_SOLVE is refine>0-only above).  Tests force it via
-# monkeypatch; flip to True only if the factor-side cost is recovered.
+# OFF — measured TWICE on the dense 64-body flagship:
+#   * round 4 (chunked-VPU matvecs + per-iteration lane transpose of
+#     the inverse): 14,686 steps/s fused vs 16,058 unfused;
+#   * round 5 (transpose ELIMINATED — the kernel consumes the factor's
+#     native (B, K, K) layout and runs the matvecs on the MXU via
+#     outer-batch products, see ops/ipm_iter.py): marginal cost
+#     2.178 ms/iteration fused vs 1.801 unfused (max_iter sweep,
+#     tol=0) — still 21% slower per iteration.  The round-4 postmortem
+#     blamed the transpose; round 5 also measured the standalone
+#     transpose at ~0 ms (XLA fuses it into the inverse build), so the
+#     honest conclusion is that the reworked unfused loop's XLA-level
+#     batched matmuls + fused elementwise simply beat a hand-fused
+#     VMEM-resident kernel at this shape, in ADDITION to the
+#     explicit-inverse factor's +0.12 ms/iter build cost (same reason
+#     FWD_INV_SOLVE is refine>0-only above).  Both negatives recorded
+#     in PERF.md; the kernel stays in-tree (tests force it via
+#     monkeypatch and assert solution + gradient parity) as the
+#     measured record.
 FUSE_ITER = False
 
 

@@ -11,18 +11,30 @@ scene rotates to K2 = 256, where the right split is:
     flops ride the systolic array;
   * EVERYTHING ELSE in the iteration — residuals, merit/best-iterate/
     stall bookkeeping, the Mehrotra predictor and corrector-delta
-    solves (one masked matvec each against the VMEM-RESIDENT inverse),
-    the u/gamma closed-form recoveries, ratio tests and masked updates
-    — runs in ONE Pallas kernel per iteration with the inverse AND
-    Ghat2 resident in VMEM.
+    solves, the u/gamma closed-form recoveries, ratio tests and masked
+    updates — runs in ONE Pallas kernel per iteration with the inverse
+    AND Ghat2 resident in VMEM.
 
-Versus the unfused loop this removes every per-iteration HBM re-read
-except one pass over the factor itself: the round-3 roofline measured
-the two substitution solves at the HBM floor re-reading the factor per
-pass, plus ~4 separate (B, K2, n) Ghat2 reads per iteration (residual
-down/up, rhs transform, z-recovery) — here Ghat2 is read once per
-iteration and the in-kernel matvecs are exact-f32 VPU fmas (better than
-the XLA 'highest' 3-pass the unfused path uses).
+Round-5 redesign (VERDICT r4 item 4): the round-4 version relayouted the
+(B, K, K) inverse to a (K, K, L) lane-major tensor EVERY iteration so the
+in-kernel matvecs could be lane-wise VPU fmas — ~134 MB of pure HBM moves
+per iteration, most of what the fusion saved, plus the matvecs themselves
+were ~100 sequential chunked VPU ops.  This version keeps the factor's
+NATIVE (B, K, K) layout (no transpose anywhere) and computes the
+per-world matvecs ON THE MXU via an outer-batch product: for a (L, R, C)
+tile M and lane-vector x (C, L),
+
+    Y = reshape(M, (L*R, C)) @ x            # (L*R, L) — all world pairs
+    y[r, l] = Y[l*R + r, l]                 # diagonal extraction
+
+computes every cross-world product and keeps only the matching-world
+diagonal.  The L-fold flop redundancy is free at these shapes (a full
+K2 = 256 solve is ~2 GFLOP/cell — microseconds on the MXU) while the
+lane transpose and the sequential VPU chains it replaces were the
+measured cost.  Products that feed RESIDUALS run at HIGHEST (3-pass,
+f32-exact class) matching the unfused loop's precision scheme; the
+solve products run at the same bf16-storage precision as the unfused
+explicit-inverse solve (lcp/pdipm.py mixed-precision note).
 
 The iteration math is the corrector-DELTA formulation of lcp/pdipm.py's
 packed loop (predictor solve + delta solve + ONE deferred z-recovery),
@@ -45,20 +57,29 @@ from jax.experimental.pallas import tpu as pltpu
 from lcp_physics_tpu.ops.linalg import PANEL, _interpret, _ru
 
 # Lanes per grid cell.  The kernel's VMEM residency is dominated by the
-# (K_pad, K_pad, L) inverse (bf16) and the (K2, n, L) Ghat2 (f32); at
+# (L, K_pad, K_pad) inverse (bf16) and the (L, K2, n) Ghat2 (f32); at
 # the flagship shape (K_pad = 256, n = 192, L = 128) that is ~17 + 25 MB
 # live, ~90 MB with the double-buffered staging, plus ~8 MB of chunked
-# matvec transients (see CH in the kernel: whole-tensor broadcast
-# multiplies measured 136.9 MB > the 128 MB physical VMEM) — legal under
-# the raised scoped-vmem limit (the 16 MiB default is a compiler limit,
-# not physical VMEM; same trick as linalg's GJ kernels).
+# matmul transients (see _MXU_CHUNK) — legal under the raised scoped-vmem
+# limit (the 16 MiB default is a compiler limit, not physical VMEM; same
+# trick as linalg's GJ kernels).
 _ITER_LANES = 128
-_ITER_VMEM_LIMIT = 120 * 1024 * 1024
+# Scoped-vmem ceiling = the v5e's physical 128 MiB: the MXU-matvec
+# variant compiles at 126.56 MB scoped (the double-buffered inv + Ghat2
+# staging dominates; shrinking the matvec chunk 64 -> 32 moved it by
+# only 0.02 MB), which the round-4 default of 120 MB rejected.
+_ITER_VMEM_LIMIT = 128 * 1024 * 1024
 
 # Largest rotated Schur system the kernel takes: two 128-panels — the
 # same bound as the explicit-inverse factor mode it rides on
 # (ops/linalg.py INV_MAX_PANELS).
 MAX_ITER_K = 2 * PANEL
+
+# Row chunk of the outer-batch MXU matvecs: bounds the (L*CH, L) product
+# transient (f32, L = 128, CH = 32 -> 2.1 MB) and the (L, CH, cols) LHS
+# staging.  CH = 64 measured 126.5 MB scoped vmem at the flagship shape
+# (> the 120 MB limit, Mosaic OOM); 32 fits.
+_MXU_CHUNK = 32
 
 
 def fused_iter_supported(C, q, B, n=None, K2=None):
@@ -66,7 +87,7 @@ def fused_iter_supported(C, q, B, n=None, K2=None):
     that tiles the lane width exactly (odd batches fall back to the
     unfused loop rather than paying a padded factor).  With ``n`` given,
     also checks the VMEM budget: the double-buffered inverse (bf16) +
-    Ghat2 (f32) staging plus ~30 MB of vector blocks and chunked-matvec
+    Ghat2 (f32) staging plus ~30 MB of vector blocks and chunked-matmul
     transients must fit the scoped-vmem limit."""
     K2 = 2 * C + q if K2 is None else K2
     ok = (_ru(K2, 8) > 88 and K2 <= MAX_ITER_K
@@ -90,6 +111,7 @@ def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
     tiny, reg = consts["tiny"], consts["reg"]
     dinv_min, dinv_max = consts["dinv_min"], consts["dinv_max"]
     L = p_ref.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
 
     # Pass-through first: a tile whose lanes are all done skips the body.
     Xout_ref[...] = Xin_ref[...]
@@ -110,31 +132,54 @@ def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
         mu_v = muv_ref[...]
         qinv = qinv_ref[...]
 
-        # The big per-world matvecs are CHUNKED over their contraction
-        # axis with ref reads per chunk: a whole-tensor read + broadcast
-        # multiply materializes a (256, 256, 128) f32 intermediate
-        # (33.6 MB) which blew past physical VMEM at the flagship shape
-        # (measured round 4: 136.9 MB > 128 MB).  64-row chunks cap the
-        # transient at ~8.4 MB and let Mosaic reuse the buffer.
-        CH = 64
+        # ---- per-world matvecs ------------------------------------------
+        # M_ref holds (L, R, Cc) per-world matrices in the factor's NATIVE
+        # layout; x is a (Cc, L) lane vector.  The per-world products ride
+        # the MXU as ONE outer-batch matmul per row chunk — all (l, l')
+        # cross-products — followed by a masked lane reduction keeping the
+        # l == l' diagonal.  ~L x redundant flops, but the MXU is idle at
+        # these shapes and this removes both the per-iteration lane
+        # relayout of the factor (the round-4 postmortem's ~134 MB/iter)
+        # and the ~100-op sequential VPU chains of the chunked fma
+        # matvecs.  ``precision`` is HIGHEST for residual-class products
+        # (f32-exact class), default for the bf16-storage solve.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (L, 1, L), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (L, 1, L), 2)
+        diag_lane = lane_i == lane_j
 
-        def matvec(M_ref, x):            # ref (a, b, L), (b, L) -> (a, L)
-            a, bdim = M_ref.shape[0], M_ref.shape[1]
-            acc = jnp.zeros((a, L), dt)
-            for j0 in range(0, bdim, CH):
-                j1 = min(j0 + CH, bdim)
-                Mj = M_ref[:, j0:j1, :].astype(dt)
-                acc = acc + jnp.sum(Mj * x[j0:j1][None, :, :], axis=1)
-            return acc
+        def matvec(M_ref, x, precision=None, out_rows=None):
+            """(L, R, Cc) o (Cc, L) -> (R, L): contraction over M's LAST
+            (lane) dim on the MXU, chunked over rows."""
+            R, Cc = M_ref.shape[1], M_ref.shape[2]
+            R_out = R if out_rows is None else out_rows
+            xm = x.astype(M_ref.dtype) if precision is None else x
+            cols = []
+            for r0 in range(0, R_out, _MXU_CHUNK):
+                r1 = min(r0 + _MXU_CHUNK, R_out)
+                Mc = M_ref[:, r0:r1, :]                     # (L, ch, Cc)
+                ch = r1 - r0
+                Y = jax.lax.dot_general(
+                    Mc.reshape(L * ch, Cc), xm,
+                    (((1,), (0,)), ((), ())), precision=precision,
+                    preferred_element_type=dt)              # (L*ch, L)
+                Yd = jnp.where(diag_lane, Y.reshape(L, ch, L), 0.0)
+                cols.append(jnp.sum(Yd, axis=2))            # (L, ch)
+            yl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+            return yl.T                                     # (R_out, L)
 
-        def matvec_T(M_ref, x):          # ref (a, b, L), (a, L) -> (b, L)
-            a, bdim = M_ref.shape[0], M_ref.shape[1]
-            acc = jnp.zeros((bdim, L), dt)
-            for i0 in range(0, a, CH):
-                i1 = min(i0 + CH, a)
-                Mi = M_ref[i0:i1, :, :].astype(dt)
-                acc = acc + jnp.sum(Mi * x[i0:i1][:, None, :], axis=0)
-            return acc
+        def matvec_T(M_ref, x, precision=None):
+            """(L, R, Cc) o (R, L) -> (Cc, L): contraction over M's
+            MIDDLE (sublane) dim — chunked f32 fmas with a small
+            transposed x chunk (exact; feeds residuals/z-recovery)."""
+            R, Cc = M_ref.shape[1], M_ref.shape[2]
+            acc = jnp.zeros((L, Cc), dt)
+            CH = 32
+            for r0 in range(0, R, CH):
+                r1 = min(r0 + CH, R)
+                Mi = M_ref[:, r0:r1, :].astype(dt)          # (L, ch, Cc)
+                xT = x[r0:r1].T                             # (L, ch)
+                acc = acc + jnp.sum(Mi * xT[:, :, None], axis=1)
+            return acc.T                                    # (Cc, L)
 
         def max_abs(x, mask=None):
             xa = jnp.abs(x)
@@ -152,7 +197,7 @@ def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
         lam_k = jnp.concatenate(
             [lam[:C], lam_v] + ([nu] if q else []), axis=0)
         rx = (1.0 / qinv) * z + p_ref[...] + matvec_T(Ghat_ref, lam_k)
-        y0 = matvec(Ghat_ref, z)        # [G_c z; sqrt2 G_f1 z; A z]
+        y0 = matvec(Ghat_ref, z, precision=hi)  # [G_c z; sqrt2 G_f1 z; A z]
         Gf1 = y0[C:2 * C] / sq2
         gamma = lam[mg:m]
         bsum = lam[C:2 * C] + lam[2 * C:3 * C]
@@ -205,13 +250,12 @@ def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
         pad_rows = K_pad - K2
 
         def solve_S(rhs2):
-            """One masked matvec against the VMEM-resident explicit
-            inverse (identity on the padding rows, zero rhs there) —
-            chunked like matvec above."""
+            """One MXU matvec against the VMEM-resident explicit inverse
+            (identity on the padding rows, zero rhs there)."""
             if pad_rows:
                 rhs2 = jnp.concatenate(
                     [rhs2, jnp.zeros((pad_rows, L), dt)], axis=0)
-            x = matvec(inv_ref, rhs2)
+            x = matvec(inv_ref, rhs2, out_rows=_ru(K2, _MXU_CHUNK))
             return x[:K2]
 
         def kkt_parts(r1, r2m, ry_, with_y):
@@ -224,7 +268,7 @@ def _iter_kernel(dims, consts, tol, not_improved_lim, stall_rtol,
             ru = (r2m[C:2 * C] + r2m[2 * C:3 * C]) / sq2
             rv = (r2m[C:2 * C] - r2m[2 * C:3 * C]) / sq2
             if with_y:
-                y = matvec(Ghat_ref, qinv * r1)
+                y = matvec(Ghat_ref, qinv * r1, precision=hi)
                 t_c = r2m[:C] - y[:C]
                 t_v = rv - y[C:2 * C]
                 t_q = [ry_ - y[2 * C:]] if q else []
@@ -295,8 +339,9 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
     [z | s | lam | nu] iterate from the qpth-style init.  ``inv_raw``
     is the factory closure building the explicit blocked inverse
     (B, K_pad, K_pad) from d_inv (lcp/pdipm.py attaches it to the
-    rotated factor).  Returns (X, bestX, best_merit, iters) in batch
-    layout — the caller runs the shared best-iterate tail.
+    rotated factor) — consumed in that NATIVE layout (no relayout; see
+    the module docstring).  Returns (X, bestX, best_merit, iters) in
+    batch layout — the caller runs the shared best-iterate tail.
     """
     B, n = p.shape
     m = h.shape[-1]
@@ -312,7 +357,6 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
         [G[:, :C, :], sq2 * G[:, C:2 * C, :], A], axis=-2)  # (B, K2, n)
 
     lanes = lambda x: x.T                                   # (B, f) -> (f, B)
-    Ghat_l = jnp.transpose(Ghat2, (1, 2, 0))                # (K2, n, B)
     qp1 = max(q, 1)
     b_l = lanes(b if q else jnp.ones((B, 1), dt))
 
@@ -327,8 +371,10 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
 
     vec = lambda feat: pl.BlockSpec((feat, L), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
-    mat = lambda a, c: pl.BlockSpec((a, c, L), lambda i: (0, 0, i),
-                                    memory_space=pltpu.VMEM)
+    # per-world matrices ride their NATIVE (B, rows, cols) layout, worlds
+    # tiled over the grid — the factor is never relayouted
+    wmat = lambda a, c: pl.BlockSpec((L, a, c), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)
     dims = (n, m, q, C, K2, K_pad)
     kern = partial(_iter_kernel, dims, consts, tol, not_improved_lim,
                    float(stall_rtol))
@@ -342,12 +388,11 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
         d_inv = jnp.clip(s_l / jnp.maximum(lam_l, consts["tiny"]),
                          consts["dinv_min"], consts["dinv_max"]).T
         inv = inv_raw(d_inv)                                # (B, K_pad, K_pad)
-        inv_l = jnp.transpose(inv, (1, 2, 0))
         state = state.at[4].set(jnp.asarray(i, dt))
         X_l, best_l, state = pl.pallas_call(
             kern,
             grid=(B // L,),
-            in_specs=[mat(K_pad, K_pad), mat(K2, n),
+            in_specs=[wmat(K_pad, K_pad), wmat(K2, n),
                       vec(n), vec(n), vec(m), vec(qp1),
                       vec(C), vec(C), vec(m),
                       vec(LX), vec(LX), vec(8)],
@@ -358,7 +403,7 @@ def fused_iter_ipm(qinv, p, G, h, A, b, mu_v, valid, row_mask,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_ITER_VMEM_LIMIT),
             interpret=_interpret(),
-        )(inv_l, Ghat_l, lanes(qinv), lanes(p), lanes(h), b_l,
+        )(inv, Ghat2, lanes(qinv), lanes(p), lanes(h), b_l,
           lanes(mu_v), lanes(valid), lanes(row_mask),
           X_l, best_l, state)
         return i + 1, X_l, best_l, state
