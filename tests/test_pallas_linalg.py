@@ -104,6 +104,23 @@ def test_blocked_lu_many_panels():
                                rtol=5e-3, atol=5e-3)
 
 
+def test_blocked_lu_at_cap():
+    """T = 12 panels — the raised MAX_BLOCKED_N = 1536 ceiling itself
+    (VERDICT r4 item 7: the top third of the round-4 raise was never
+    correctness-tested; the round-5 bigworld probe measures its TPU
+    throughput/compile cost)."""
+    rng = np.random.default_rng(12)
+    B, n, m = 1, 800, 700  # nk = 1500 -> T = 12 panels
+    K = kkt_like_batch(B, n, m, rng)
+    r = jnp.asarray(rng.standard_normal((B, n + m)).astype(np.float32))
+    fac = plu_factor(K)
+    assert fac[0] == "blocked"
+    x = plu_solve(fac, r)
+    x_ref = jnp.linalg.solve(K, r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_blocked_lu_f64_precision():
     """f64 inputs keep f64 accumulation through the blocked path (ADVICE
     r1: preferred_element_type was hardcoded to f32, silently downcasting

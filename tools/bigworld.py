@@ -125,6 +125,15 @@ def main():
         log("[bigworld] cpu smoke OK")
         return
 
+    if "--cap" in sys.argv:
+        # MAX_BLOCKED_N = 1536 frontier probe (VERDICT r4 item 7): a
+        # 19x19 dense grid with c_max = 768 -> K2 = 1536 = the cap
+        # exactly (T = 12 panels).  Measures compile time + steps/s at
+        # the top of the newly-allowed range; correctness at T = 12 is
+        # covered by tests/test_pallas_linalg.py::test_blocked_lu_at_cap.
+        probe(361, 32, n_steps, c_max=768)
+        return
+
     # Dense circle grids: N=64 flagship anchor, then 144 and 256.
     # B scaled down to keep total bodies ~16k (64*256).
     probe(64, 256, n_steps)
