@@ -15,10 +15,10 @@ profile (solver_refine=2):
   4. bounce-height law: a dropped ball returns to ~e^2 h0.
 
 Run it ON THE TPU (default backend under the driver) or on CPU-f32 with
---cpu.  Thresholds are stated per check and were calibrated on the v5e
-(see PERF.md "f32 physics-quality guard", round 4) with ~3x headroom over
-the measured values, tight enough that a precision regression of one
-decade trips them.
+--cpu.  Thresholds are stated per check with ~3x headroom over the
+values measured on the real v5e — the full run is recorded in PERF.md
+"f32 physics-quality guard (TPU v5e, round 5)": ALL PASS, 8/8 checks at
+both profiles; a precision regression of one decade trips them.
 
 Usage:  python tools/validate_f32.py [--cpu] [--quick]
 """
