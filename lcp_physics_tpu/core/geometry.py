@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lcp_physics_tpu.ops.take import make_take_rows, make_take_unique_rows
 from lcp_physics_tpu.utils import left_orthogonal, rotate
 
 _TINY = 1e-12
@@ -298,11 +299,16 @@ def hull_hull_pairs(wv, counts_j, pos, ia, ib, margin_p):
     valid (2, P) — the same <=2-point shared-normal manifolds as
     :func:`hull_hull`.
     """
-    ax = wv[ia, :, 0].T; ay = wv[ia, :, 1].T      # (V, P)
-    bx = wv[ib, :, 0].T; by = wv[ib, :, 1].T
+    # Matmul-transpose takes: see the find_contacts call site (the VJP of
+    # these P-long gathers is otherwise a serialized TPU scatter-add).
+    take_n = make_take_rows(wv.shape[0])
+    wva = take_n(wv, ia); wvb = take_n(wv, ib)    # (P, V, 2)
+    pos_a = take_n(pos, ia); pos_b = take_n(pos, ib)
+    ax = wva[..., 0].T; ay = wva[..., 1].T        # (V, P)
+    bx = wvb[..., 0].T; by = wvb[..., 1].T
     ca = counts_j[ia]; cb = counts_j[ib]          # (P,)
-    pos_ax, pos_ay = pos[ia, 0], pos[ia, 1]
-    pos_bx, pos_by = pos[ib, 0], pos[ib, 1]
+    pos_ax, pos_ay = pos_a[:, 0], pos_a[:, 1]
+    pos_bx, pos_by = pos_b[:, 0], pos_b[:, 1]
 
     ax2, ay2, nax, nay, eva = _soa_edges(ax, ay, ca)
     bx2, by2, nbx, nby, evb = _soa_edges(bx, by, cb)
@@ -519,21 +525,28 @@ def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None,
 
     outs = []  # tuples of (normal, ra, rb, depth, ia, ib, valid), flat lists
 
+    # Pair-input gathers ride the matmul-transpose take: their VJP is a
+    # scatter-add over P≈2000 indices, which serializes on TPU and was
+    # 16.5 ms of the dense flagship's 21 ms/step backward (PERF.md
+    # round-5 backward roofline; tools/asm_vjp_probe.py).  The pair lists
+    # are static, so the one-hot transpose constant-folds.
+    take_n = make_take_rows(p.shape[0])
+
     cc_i, cc_j = pairs["cc"]
     if len(cc_i):
-        n, ra, rb, d = jax.vmap(
-            lambda i, j: circle_circle(pos[i], radius[i], pos[j], radius[j])
-        )(cc_i, cc_j)
+        n, ra, rb, d = jax.vmap(circle_circle)(
+            take_n(pos, cc_i), take_n(radius, cc_i),
+            take_n(pos, cc_j), take_n(radius, cc_j))
         ok = aabb_overlap(boxes, cc_i, cc_j) & (d > -pair_margin(cc_i, cc_j))
         outs.append((n, ra, rb, d, jnp.asarray(cc_i, jnp.int32),
                      jnp.asarray(cc_j, jnp.int32), ok))
 
     ch_i, ch_j = pairs["ch"]  # circle first, hull second
     if len(ch_i):
-        n, r_c, cp_hull, d = jax.vmap(
-            lambda i, j: circle_hull(pos[i], radius[i], wv[j], counts_j[j])
-        )(ch_i, ch_j)
-        r_h = cp_hull - pos[jnp.asarray(ch_j)]
+        n, r_c, cp_hull, d = jax.vmap(circle_hull)(
+            take_n(pos, ch_i), take_n(radius, ch_i),
+            take_n(wv, ch_j), counts_j[jnp.asarray(ch_j)])
+        r_h = cp_hull - take_n(pos, ch_j)
         ok = aabb_overlap(boxes, ch_i, ch_j) & (d > -pair_margin(ch_i, ch_j))
         # normal from hull->circle == from b->a with a=circle. ✓
         outs.append((n, r_c, r_h, d, jnp.asarray(ch_i, jnp.int32),
@@ -606,8 +619,11 @@ def find_contacts(p, verts, radius, counts, pairs, c_max, margin=None,
     score = jnp.where(valid, depth, -jnp.inf)
     _, keep = jax.lax.top_k(score, c_max)
     keep = jax.lax.stop_gradient(keep)
-    packed = jnp.concatenate(
-        [normal, ra, rb, depth[:, None]], axis=-1)[keep]   # (c_max, 7)
+    # top_k picks are unique rows, so the packed gather's transpose can be
+    # a vectorizable unique-indices scatter-SET instead of a scatter-add.
+    take_u = make_take_unique_rows(total)
+    packed = take_u(jnp.concatenate(
+        [normal, ra, rb, depth[:, None]], axis=-1), keep)  # (c_max, 7)
     ints = jnp.stack(
         [ia, ib, valid.astype(jnp.int32)], axis=-1)[keep]  # (c_max, 3)
     return Contacts(packed[:, 0:2], packed[:, 2:4], packed[:, 4:6],

@@ -46,6 +46,7 @@ from lcp_physics_tpu.core.jacobians import (assemble_contact_jacobians,
 from lcp_physics_tpu.core.state import SceneParams, SceneStatic, WorldState
 from lcp_physics_tpu.lcp import lcp_solve
 from lcp_physics_tpu.lcp.cone import ConeF
+from lcp_physics_tpu.ops.take import make_take_rows
 from lcp_physics_tpu.utils import SimConfig
 
 
@@ -124,6 +125,7 @@ def make_assemble(static: SceneStatic, config: SimConfig):
     N = static.n_bodies
     C = static.c_max
     fd = config.fric_dirs
+    take_body = make_take_rows(N)
 
     def assemble_eq(params, state, dt):
         """Equality-only blocks (mass, forces, joints) — no narrowphase."""
@@ -181,10 +183,15 @@ def make_assemble(static: SceneStatic, config: SimConfig):
         Jc, Jf, _ = assemble_contact_jacobians(contacts, N, fd)
         mask = contacts.valid.astype(dtype)
 
-        e_rest = 0.5 * (params.restitution[contacts.ia]
-                        + params.restitution[contacts.ib])
-        mu = jnp.sqrt(jnp.clip(params.fric_coeff[contacts.ia]
-                               * params.fric_coeff[contacts.ib], 0.0)) * mask
+        # Matmul-transpose takes (ops/take.py): the VJP of a dynamic-index
+        # param gather is otherwise a TPU scatter-add (PERF.md round-5
+        # backward roofline).
+        rest_a = take_body(params.restitution, contacts.ia)
+        rest_b = take_body(params.restitution, contacts.ib)
+        e_rest = 0.5 * (rest_a + rest_b)
+        mu = jnp.sqrt(jnp.clip(take_body(params.fric_coeff, contacts.ia)
+                               * take_body(params.fric_coeff, contacts.ib),
+                               0.0)) * mask
 
         G = jnp.concatenate(
             [-Jc, -Jf, jnp.zeros((C, 3 * N), dtype)], axis=0)

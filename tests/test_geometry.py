@@ -369,3 +369,108 @@ def test_hull_budget_in_simconfig_step():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(o_budg.v), np.asarray(o_full.v),
                                atol=1e-9)
+
+
+def test_take_rows_grad_matches_plain_gather():
+    """ops/take.py matmul-transpose gather: VJP identical to the plain
+    scatter-add transpose (repeated indices summed), static numpy and
+    traced index vectors, scalar and multi-dim rows, under vmap."""
+    from lcp_physics_tpu.ops.take import make_take_rows
+
+    rng = np.random.default_rng(3)
+    N, P = 7, 23
+    take = make_take_rows(N)
+    idx_np = rng.integers(0, N, P)            # repeats guaranteed (P > N)
+    arr2 = jnp.asarray(rng.normal(size=(N, 4)))
+    ct2 = jnp.asarray(rng.normal(size=(P, 4)))
+
+    def via(fn, arr, idx, ct):
+        _, pull = jax.vjp(lambda a: fn(a, idx), arr)
+        return pull(ct)[0]
+
+    plain = lambda a, i: jnp.take(a, i, axis=0)
+    for idx in (idx_np, jnp.asarray(idx_np)):
+        np.testing.assert_allclose(
+            np.asarray(via(take, arr2, idx, ct2)),
+            np.asarray(via(plain, arr2, idx, ct2)), rtol=1e-12)
+    arr1 = jnp.asarray(rng.normal(size=(N,)))
+    ct1 = jnp.asarray(rng.normal(size=(P,)))
+    np.testing.assert_allclose(
+        np.asarray(via(take, arr1, idx_np, ct1)),
+        np.asarray(via(plain, arr1, idx_np, ct1)), rtol=1e-12)
+
+    # vmapped over a batched array (the per-world narrowphase pattern)
+    B = 5
+    arrb = jnp.asarray(rng.normal(size=(B, N, 2)))
+    ctb = jnp.asarray(rng.normal(size=(B, P, 2)))
+    f_new = jax.vmap(lambda a: take(a, idx_np))
+    f_old = jax.vmap(lambda a: plain(a, idx_np))
+    _, pn = jax.vjp(f_new, arrb)
+    _, po = jax.vjp(f_old, arrb)
+    np.testing.assert_allclose(np.asarray(pn(ctb)[0]),
+                               np.asarray(po(ctb)[0]), rtol=1e-12)
+
+    # vmapped with an UNBATCHED array (shared params pattern): cotangent
+    # sums over the batch
+    f_new = jax.vmap(lambda _, a: take(a, idx_np), in_axes=(0, None))
+    f_old = jax.vmap(lambda _, a: plain(a, idx_np), in_axes=(0, None))
+    dummy = jnp.zeros((B,))
+    _, pn = jax.vjp(f_new, dummy, arr2)
+    _, po = jax.vjp(f_old, dummy, arr2)
+    ctb2 = jnp.asarray(rng.normal(size=(B, P, 4)))
+    np.testing.assert_allclose(np.asarray(pn(ctb2)[1]),
+                               np.asarray(po(ctb2)[1]), rtol=1e-12)
+
+
+def test_take_unique_rows_grad_matches_plain_gather():
+    """Unique-index take (the top_k compaction transpose): VJP equals the
+    plain gather's, including under vmap with batched indices."""
+    from lcp_physics_tpu.ops.take import make_take_unique_rows
+
+    rng = np.random.default_rng(4)
+    P, C = 19, 8
+    take = make_take_unique_rows(P)
+    arr = jnp.asarray(rng.normal(size=(P, 7)))
+    ct = jnp.asarray(rng.normal(size=(C, 7)))
+    idx = jnp.asarray(rng.permutation(P)[:C])
+    plain = lambda a, i: jnp.take(a, i, axis=0)
+    _, pn = jax.vjp(lambda a: take(a, idx), arr)
+    _, po = jax.vjp(lambda a: plain(a, idx), arr)
+    np.testing.assert_allclose(np.asarray(pn(ct)[0]),
+                               np.asarray(po(ct)[0]), rtol=1e-12)
+
+    B = 4
+    arrb = jnp.asarray(rng.normal(size=(B, P, 3)))
+    idxb = jnp.asarray(np.stack([rng.permutation(P)[:C] for _ in range(B)]))
+    ctb = jnp.asarray(rng.normal(size=(B, C, 3)))
+    _, pn = jax.vjp(jax.vmap(take), arrb, idxb)
+    _, po = jax.vjp(jax.vmap(plain), arrb, idxb)
+    np.testing.assert_allclose(np.asarray(pn(ctb)[0]),
+                               np.asarray(po(ctb)[0]), rtol=1e-12)
+
+
+def test_find_contacts_grad_finite_difference():
+    """End-to-end narrowphase gradient wrt positions (through the take-
+    based pair gathers AND the unique-scatter compaction: 4 circles -> 6
+    candidate rows compacted into c_max=4) matches finite differences."""
+    p, verts, radius, counts = make_world([
+        dict(pos=[0.0, 0.0, 0.0], radius=1.0),
+        dict(pos=[0.0, 1.8, 0.1], radius=1.0),
+        dict(pos=[0.0, 0.2, 1.7], radius=1.0),
+        dict(pos=[0.0, 1.9, 1.8], radius=1.0),
+    ])
+    pairs = split_pairs_by_kind(counts)
+
+    def loss(p):
+        c = find_contacts(p, verts, radius, counts, pairs, 4)
+        w = c.valid.astype(p.dtype)
+        return (jnp.sum(w * c.depth) + jnp.sum(w[:, None] * c.normal)
+                + jnp.sum(w[:, None] * (c.ra - c.rb)))
+
+    g = jax.grad(loss)(p)
+    eps = 1e-6
+    for k in [(0, 1), (1, 2), (2, 1), (3, 2)]:
+        dp = jnp.zeros_like(p).at[k].set(eps)
+        fd = (loss(p + dp) - loss(p - dp)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[k]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-7)
