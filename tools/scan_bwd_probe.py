@@ -65,8 +65,12 @@ def main():
             v, g = jax.value_and_grad(loss)(params, states)
             return v, g.mass
 
-        t_f = time_chained(loss, params, states, reps=20)
-        t_fb = time_chained(fb, params, states, reps=10)
+        try:
+            t_f = time_chained(loss, params, states, reps=20)
+            t_fb = time_chained(fb, params, states, reps=10)
+        except Exception as e:  # e.g. unroll8 HBM-OOMs (fragmentation)
+            log(f"[scan_bwd] {kind:12s} FAILED: {str(e).splitlines()[0][:120]}")
+            continue
         log(f"[scan_bwd] {kind:12s} fwd {t_f * 1e3:7.1f}  fwd+bwd "
             f"{t_fb * 1e3:7.1f}  bwd/step {(t_fb - t_f) / n_steps * 1e3:6.2f} ms"
             f"  -> {B * n_steps / t_fb:,.0f} grad-world-steps/s")
